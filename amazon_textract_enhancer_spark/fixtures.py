@@ -1,0 +1,248 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Generates the north-rule input table
+``(conv_id string, turn_idx int32, role string, text string,
+tool string, ts timestamp)`` — BASELINE.json:15 — as plain Python rows,
+seed-fixed (``random.Random(seed)``), no wall clock, no uuid4.
+
+Alongside each row it emits the *generation-intent golden*: what a
+correct extractor must produce for that payload. The goldens are NOT
+computed by running the extractor (that would make tests circular) —
+they are what the generator deliberately planted:
+
+- html:   golden text = the ``<p>`` main-content texts joined by "\\n";
+          boilerplate (nav/header/footer/aside links, script/style,
+          short noise divs) must vanish.
+- layout: golden text = non-table, non-KV lines in (page, y, x) order;
+          golden tables = planted grids (1-based row/col); golden forms
+          = planted "Key: Value" pairs.
+- plain:  golden text = input with per-line trailing whitespace stripped.
+
+Conversation-length skew per FIXTURES.md: 90% 5–20 turns, 9% 50–200,
+1% whales (exercises salting F2). Rows are emitted in a seeded shuffled
+order — stable (conv_id, turn_idx) ordering is the pipeline's job (F5).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+_EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu amber basalt cedar dune ember fjord garnet "
+    "harbor inlet jasper krill lagoon marble nectar onyx prairie quartz "
+    "reef summit tundra umber vortex willow zenith orbit pixel quantum "
+    "raster stream tensor vector"
+).split()
+
+_KEY_WORDS = ("Invoice Total Status Owner Region Priority Vendor Amount "
+              "Date Category Account Reference").split()
+
+_ROLES = ("user", "assistant", "tool")
+_TOOLS = ("search", "python", "browser")
+
+GRID_XS = (200.0, 320.0, 440.0, 560.0, 680.0)
+
+
+def _sentence(rng: random.Random, lo: int, hi: int) -> str:
+    n = rng.randint(lo, hi)
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def _short(rng: random.Random, max_words: int = 2) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(rng.randint(1, max_words)))
+
+
+# ---------------------------------------------------------------- html
+def _gen_html(rng: random.Random) -> tuple[str, dict]:
+    parts = ["<html><head><title>", _short(rng), "</title>"]
+    if rng.random() < 0.5:
+        parts.append("<style>body{margin:0} .x{color:#888}</style>")
+    parts.append("</head><body>")
+    # nav: link-dense boilerplate
+    parts.append("<nav><ul>")
+    for _ in range(rng.randint(3, 6)):
+        parts.append(f'<li><a href="#">{_short(rng, 3)}</a></li>')
+    parts.append("</ul></nav>")
+    parts.append(f"<header><h1>{_short(rng)}</h1></header>")
+    # noise divs (nested, short text -> below MIN_CONTENT_CHARS)
+    def noise(depth: int) -> str:
+        if depth <= 0:
+            return f"<div>{_short(rng, 2)}</div>"
+        return f"<div>{_short(rng, 2)}{noise(depth - 1)}</div>"
+    if rng.random() < 0.7:
+        parts.append(noise(rng.randint(1, 7)))
+    # main content
+    golden_ps: list[str] = []
+    parts.append("<main><article>")
+    for _ in range(rng.randint(1, 10)):
+        p = _sentence(rng, 8, 20)
+        if rng.random() < 0.5:
+            p += ". " + _sentence(rng, 8, 16)
+        golden_ps.append(p)
+        parts.append(f"<p>{p}</p>")
+    parts.append("</article></main>")
+    if rng.random() < 0.6:
+        parts.append("<aside>")
+        for _ in range(rng.randint(2, 4)):
+            parts.append(f'<a href="#">{_short(rng, 3)}</a>')
+        parts.append("</aside>")
+    if rng.random() < 0.5:
+        parts.append("<script>var q=1;function f(){return q+1}</script>")
+    parts.append("<footer><a href='#'>" + _short(rng, 2) + "</a></footer>")
+    parts.append("</body></html>")
+    golden = {
+        "kind": "html",
+        "text": "\n".join(golden_ps),
+        "tables": [],
+        "forms": [],
+    }
+    return "".join(parts), golden
+
+
+# -------------------------------------------------------------- layout
+def _gen_layout(rng: random.Random) -> tuple[str, dict]:
+    lines: list[str] = []
+    golden_lines: list[str] = []
+    golden_tables: list[dict] = []
+    golden_forms: list[dict] = []
+    n_pages = rng.randint(1, 2)
+    for page in range(1, n_pages + 1):
+        y = 20.0
+        n_grids = rng.randint(0, 2)
+        n_kv = rng.randint(0, 5)
+        n_plain = rng.randint(2, 8)
+        # interleave: plain, maybe grid, plain, maybe kv ... deterministic order
+        items: list[str] = ["plain"] * n_plain + ["grid"] * n_grids + ["kv"] * n_kv
+        rng.shuffle(items)
+        # ensure two grids are never adjacent (they would merge if the
+        # column signature matched); separate with a plain line
+        fixed: list[str] = []
+        for it in items:
+            if it == "grid" and fixed and fixed[-1] == "grid":
+                fixed.append("plain")
+            fixed.append(it)
+        for it in fixed:
+            if it == "plain":
+                t = _sentence(rng, 4, 10)
+                lines.append(f"x=50.0 y={y} page={page} | {t}")
+                golden_lines.append(t)
+                y += 12.0
+            elif it == "kv":
+                k = rng.choice(_KEY_WORDS)
+                v = _short(rng, 3)
+                lines.append(f"x=50.0 y={y} page={page} | {k}: {v}")
+                golden_forms.append({"key": k, "value": v, "page": page})
+                y += 12.0
+            else:  # grid
+                r = rng.randint(2, 4)
+                c = rng.randint(2, 4)
+                xs = GRID_XS[:c]
+                rows: list[list[str]] = []
+                for ri in range(r):
+                    row = []
+                    for ci in range(c):
+                        cell = _short(rng, 2)
+                        row.append(cell)
+                        lines.append(f"x={xs[ci]} y={y} page={page} | {cell}")
+                    rows.append(row)
+                    y += 12.0
+                golden_tables.append(
+                    {"page": page, "n_rows": r, "n_cols": c, "rows": rows}
+                )
+    golden = {
+        "kind": "layout",
+        "text": "\n".join(golden_lines),
+        "tables": golden_tables,
+        "forms": golden_forms,
+    }
+    return "\n".join(lines), golden
+
+
+# --------------------------------------------------------------- plain
+def _gen_plain(rng: random.Random) -> tuple[str, dict]:
+    if rng.random() < 0.08:  # empty payload → D6 skip path
+        return "", {"kind": "plain", "text": "", "tables": [], "forms": []}
+    raw_lines = []
+    golden_lines = []
+    for _ in range(rng.randint(2, 8)):
+        t = _sentence(rng, 5, 14).replace(":", "")
+        trail = " " * rng.randint(0, 3)
+        raw_lines.append(t + trail)
+        golden_lines.append(t)
+    return "\n".join(raw_lines), {
+        "kind": "plain",
+        "text": "\n".join(golden_lines),
+        "tables": [],
+        "forms": [],
+    }
+
+
+# ------------------------------------------------------------- driver
+def conv_length(rng: random.Random, scale: float) -> int:
+    p = rng.random()
+    if p < 0.90:
+        return rng.randint(5, 20)
+    if p < 0.99:
+        return rng.randint(50, 200)
+    return max(1000, int(50 * scale))
+
+
+def generate_transcripts(
+    seed: int = 42,
+    n_convs: int = 20,
+    scale: float = 1.0,
+    with_goldens: bool = True,
+    whale_cap: int | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """Returns (rows, goldens). Rows are seed-shuffled; goldens are in
+    generation order keyed by (conv_id, turn_idx)."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    goldens: list[dict] = []
+    for i in range(n_convs):
+        conv_id = f"conv{i:08d}"
+        n_turns = conv_length(rng, scale)
+        if whale_cap is not None:
+            n_turns = min(n_turns, whale_cap)
+        role_off = rng.randint(0, 2)
+        for t in range(n_turns):
+            role = _ROLES[(t + role_off) % 3]
+            p = rng.random()
+            if p < 0.5:
+                text, golden = _gen_html(rng)
+            elif p < 0.8:
+                text, golden = _gen_layout(rng)
+            else:
+                text, golden = _gen_plain(rng)
+            tool = rng.choice(_TOOLS) if role == "tool" else None
+            ts = _EPOCH + timedelta(seconds=i * 3600 + t * 7)
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": role,
+                    "text": text,
+                    "tool": tool,
+                    "ts": ts,
+                }
+            )
+            if with_goldens:
+                golden["conv_id"] = conv_id
+                golden["turn_idx"] = t
+                goldens.append(golden)
+    rng.shuffle(rows)  # never pre-sorted (F5 is the pipeline's job)
+    return rows, goldens
+
+
+def rows_to_pandas(rows: list[dict]):
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"], utc=True).dt.tz_localize(None)
+    return df
