@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``amazon_textract_enhancer_spark``; this module
+only adapts it to the driver contract.
 """
 
 from __future__ import annotations
@@ -15,24 +17,52 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7.1 M1): extracted main-content text +
+    table/form counts per turn, stable (conv_id, turn_idx) order, over
+    /root/testdata/sf0.001 ``documents`` treated as 1-turn conversations.
+    """
+    from pyspark.sql import functions as F
+
+    from amazon_textract_enhancer_spark.stages import extract_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    transcripts = docs.select(
+        F.concat(F.lit("doc"), F.format_string("%08d", F.col("doc_id"))).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("text"),
+    )
+    spans = extract_spans(transcripts)
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        "kind",
+        "extracted_text",
+        F.size("tables").alias("n_tables"),
+        F.size("forms").alias("n_forms"),
+        F.col("counters.skipped").alias("skipped"),
+    ).orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Aliases match oracle_sql() column names exactly.
     """
-    return {}
+    from amazon_textract_enhancer_spark.operators.registry import SPARK_QUERIES
+
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL twins for every SQL-expressible query.
+
+    Keys missing here (relative to queries()) are the genuinely
+    non-SQL-expressible ✂ operators (extraction UDF pipeline, MinHash
+    LSH, SimHash) — the driver records rows-only checks for those.
     """
-    return {}
+    from amazon_textract_enhancer_spark.operators.registry import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

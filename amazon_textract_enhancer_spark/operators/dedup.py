@@ -1,0 +1,198 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Exact (hash groupBy), n-gram Jaccard (shingle equi-join — fully
+relational, oracle-checked), MinHash+LSH (shingle→minhash→band→
+bucket-join, ALL Spark built-ins, no UDF), SimHash (bitwise majority
+over token hashes).
+
+Scale notes (100 TB): every step is expression-level (whole-stage
+codegen) — shingling via transform/sequence, hashing via xxhash64.
+The only shuffles are the groupBys/joins on (shingle|band|fingerprint),
+which are the minimal theoretical data movement for these algorithms.
+Candidate verification joins are pre-filtered by LSH buckets so the
+quadratic blowup never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io_util import t
+from .serving import TOKEN_PATTERN
+
+N_MINHASH = 16  # signature length
+N_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
+JACCARD_THRESHOLD = 0.8
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groupBy; keeper = min(doc_id).
+    One shuffle on the fingerprint."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def _shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles, pure expressions."""
+    L = F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)
+    df = df.select("doc_id", L.alias("L"))
+    parts = [F.element_at(F.col("L"), F.col("i") + j) for j in range(k)]
+    sh = (
+        df.filter(F.size("L") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("L") - (k - 1))).alias("i"),
+            "L",
+        )
+        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+    return sh
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by 3-gram shingle Jaccard, fully relational (DuckDB
+    oracle twin exists): shingle equi-join → intersection counts →
+    |A∩B| / (|A|+|B|-|A∩B|) >= 0.8. The equi-join on shingle IS the
+    candidate filter — disjoint documents never pair up."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — minhash signature via n seeded xxhash64
+    minima over the shingle set. No UDF: n aggregate expressions."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding (✂ rows-only: hash functions are engine-
+    specific). Pipeline: shingle → 16-way minhash signature → 4 bands of
+    4 rows → band-bucket equi-join → candidate pairs → exact Jaccard
+    verify >= 0.8. At 10^12 scale the band join replaces the O(n^2)
+    pair space with bucket-local pairs."""
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for band in range(N_BANDS):
+        cols = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on the (small) candidate set
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.alias("sha")
+    shb = sh.alias("shb")
+    inter = (
+        candidates.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("shb.doc_id"))
+            & (F.col("sha.shingle") == F.col("shb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — bitwise-majority fingerprint over token
+    xxhash64 values, expression-only (bits x conditional sums).
+    16 bits keeps the aggregate width reasonable; hamming-near pairs
+    share most bits."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), TOKEN_PATTERN)).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (✂ rows-only): identical 16-bit fingerprints
+    group together; emits clusters with >1 member."""
+    docs = t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )

@@ -1,0 +1,164 @@
+"""✂ Extraction-pipeline queries (SURVEY.md §2.A/§2.D) — the flagship
+path over the north-rule transcript table. Not SQL-expressible (DuckDB
+cannot parse HTML/layout), so the driver records rows-only checks;
+per-turn equality is instead proven against the single-node oracle in
+tests/test_spark_pipeline.py.
+
+Input is the deterministic fixture transcript table (seed=42) — the
+sandbox stand-in for the production Iceberg transcripts table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import generate_transcripts, rows_to_pandas
+from ..schemas import TRANSCRIPT_SCHEMA
+from ..stages import extract_blocks_long, extract_nodes_long, extract_spans
+
+_N_CONVS = 40
+_WHALE_CAP = 120
+
+
+def fixture_transcripts(spark: SparkSession) -> DataFrame:
+    rows, _ = generate_transcripts(seed=42, n_convs=_N_CONVS, whale_cap=_WHALE_CAP)
+    return spark.createDataFrame(rows_to_pandas(rows), schema=TRANSCRIPT_SCHEMA)
+
+
+def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction: per-turn main text + span counts,
+    stable (conv_id, turn_idx) order."""
+    spans = extract_spans(fixture_transcripts(spark))
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        "kind",
+        "extracted_text",
+        F.size("tables").cast("int").alias("n_tables"),
+        F.size("forms").cast("int").alias("n_forms"),
+        F.col("counters.skipped").alias("skipped"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+def x_extract_tables_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/C3 — table-to-CSV artifacts: one row per reconstructed table."""
+    spans = extract_spans(fixture_transcripts(spark))
+    tb = spans.select(
+        "conv_id", "turn_idx", F.posexplode("tables").alias("table_idx", "tbl")
+    )
+    return tb.select(
+        "conv_id",
+        "turn_idx",
+        F.col("table_idx").cast("int").alias("table_idx"),
+        F.col("tbl.page").alias("page"),
+        F.col("tbl.n_rows").alias("n_rows"),
+        F.col("tbl.n_cols").alias("n_cols"),
+        F.col("tbl.csv").alias("csv"),
+    ).orderBy("conv_id", "turn_idx", "table_idx")
+
+
+def x_extract_forms_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/C4 — form key-value artifacts (case-insensitive key lookup is
+    a filter on this view)."""
+    spans = extract_spans(fixture_transcripts(spark))
+    kv = spans.select(
+        "conv_id", "turn_idx", F.posexplode("forms").alias("kv_idx", "kv")
+    )
+    return kv.select(
+        "conv_id",
+        "turn_idx",
+        F.col("kv_idx").cast("int").alias("kv_idx"),
+        F.col("kv.key").alias("key"),
+        F.col("kv.value").alias("value"),
+        F.col("kv.page").alias("page"),
+        F.col("kv.selection").alias("selection"),
+    ).orderBy("conv_id", "turn_idx", "kv_idx")
+
+
+def x_counters_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — lineage counters rolled up per payload kind."""
+    spans = extract_spans(fixture_transcripts(spark))
+    return spans.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("counters.blocks_parsed").cast("long").alias("blocks_parsed"),
+        F.sum("counters.nodes_parsed").cast("long").alias("nodes_parsed"),
+        F.sum("counters.tables_reconstructed").cast("long").alias("tables_reconstructed"),
+        F.sum("counters.kv_pairs").cast("long").alias("kv_pairs"),
+        F.sum(F.when(F.col("counters.skipped"), 1).otherwise(0)).cast("long").alias("n_skipped"),
+    )
+
+
+def x_blocks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded blocks table census (B2 type filter over the long form)."""
+    blocks = extract_blocks_long(fixture_transcripts(spark))
+    return blocks.groupBy("block_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def x_nodes_density_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4 as Catalyst-planned ops over the exploded NODE table —
+    the relational twin of the fused in-UDF classification. Recomputes
+    main text per turn with groupBy + ordered array_sort concat and the
+    SAME density rule (constants from core.htmldom); equality with the
+    fused path is asserted in tests/test_relational_nodes.py."""
+    from ..core.htmldom import MAX_LINK_DENSITY, MIN_CONTENT_CHARS
+
+    nodes = extract_nodes_long(fixture_transcripts(spark))
+    text_nodes = nodes.filter(F.col("tag") == "#text")
+    blocks = text_nodes.groupBy("conv_id", "turn_idx", "block_id").agg(
+        F.min("node_id").alias("ord"),
+        # join-with-spaces reconstruction: sum(chars) + (count-1)
+        (F.sum("n_chars") + F.count(F.lit(1)) - 1).alias("n_chars"),
+        F.sum("n_link_chars").alias("n_link_chars"),
+        F.max(F.col("in_dropped").cast("int")).cast("boolean").alias("in_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("node_id", "text"))),
+                lambda x: x["text"],
+            ),
+        ).alias("block_text"),
+    )
+    content = blocks.filter(
+        (~F.col("in_dropped"))
+        & (F.col("n_chars") >= MIN_CONTENT_CHARS)
+        & ((F.col("n_link_chars") / F.col("n_chars")) <= MAX_LINK_DENSITY)
+    )
+    return (
+        content.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "block_text"))),
+                    lambda x: x["block_text"],
+                ),
+            ).alias("extracted_text")
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def x_point_lookup_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 over extracted_spans: one conversation, stable turn order."""
+    spans = extract_spans(fixture_transcripts(spark))
+    return (
+        spans.filter(F.col("conv_id") == "conv00000003")
+        .select("conv_id", "turn_idx", "kind", "extracted_text")
+        .orderBy("turn_idx")
+    )
+
+
+def x_search_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-ii over the spans-derived tokens table: term document
+    frequency, deterministic top-25."""
+    from .serving import tokenize
+
+    spans = extract_spans(fixture_transcripts(spark))
+    toks = tokenize(spans, "extracted_text", ["conv_id", "turn_idx"])
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(25)
+    )

@@ -1,0 +1,335 @@
+"""Query registry — the driver contract surface (__spark_entry__.py).
+
+SPARK_QUERIES: name → (spark, sf_dir) → DataFrame.
+ORACLE_SQL:    name → DuckDB ANSI SQL twin with byte-identical aliases.
+
+Names missing from ORACLE_SQL are the ✂ operators (extraction UDF
+pipeline, MinHash LSH, SimHash, plane-hash ANN) — engine-specific
+hashing / HTML parsing makes a SQL twin impossible; the driver records
+rows-only checks and the pytest suite carries their correctness
+(oracle golden equality, algebraic invariants).
+
+Float discipline: every cross-engine double aggregate is rounded
+(sums of large double columns to 0 decimals, avgs/similarities to 4–6)
+so IEEE summation-order noise cannot break the value hash; integral
+doubles (l_quantity) are exact and left unrounded.
+"""
+
+from __future__ import annotations
+
+from . import dedup, extraction_queries as xq, multimodal, relational as rel
+from . import scale, serving, similarity, textstats
+
+SPARK_QUERIES = {
+    # §2.B/§2.E relational core
+    "b2_filter_scan_pushdown": rel.b2_filter_scan_pushdown,
+    "b12_agg_confidence_stats": rel.b12_agg_confidence_stats,
+    "b1_join_blockmap_lookup": rel.b1_join_blockmap_lookup,
+    "b3_child_traversal_posexplode": rel.b3_child_traversal_posexplode,
+    "b4_ordered_text_assembly": rel.b4_ordered_text_assembly,
+    "b5_two_level_ordered_concat": rel.b5_two_level_ordered_concat,
+    "b6_grid_pivot_fixed": rel.b6_grid_pivot_fixed,
+    "b7_anti_join_swallowed": rel.b7_anti_join_swallowed,
+    "b15_semi_join_referenced": rel.b15_semi_join_referenced,
+    "b13_window_reading_order": rel.b13_window_reading_order,
+    "d3_window_neighbor_smoothing": rel.d3_window_neighbor_smoothing,
+    "b14_union_dedup": rel.b14_union_dedup,
+    "a2_distinct_idempotency": rel.a2_distinct_idempotency,
+    "agg_rollup_lang_source": rel.agg_rollup_lang_source,
+    "agg_distinct_users": rel.agg_distinct_users,
+    # §2.C serving surface
+    "c1_point_lookup": serving.c1_point_lookup,
+    "c2_range_status_query": serving.c2_range_status_query,
+    "c5_search_ilike": serving.c5_search_ilike,
+    "c5_search_rank_topk": serving.c5_search_rank_topk,
+    "c6_tokenize_df": serving.c6_tokenize_df,
+    # §2.F scale mechanics
+    "f2_salted_two_phase_agg": scale.f2_salted_two_phase_agg,
+    # training-data pipeline: dedup
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ✂
+    "dedup_simhash": dedup.dedup_simhash,  # ✂
+    # training-data pipeline: similarity search
+    "ann_cosine_topk": similarity.ann_cosine_topk,
+    "ann_pairs_threshold": similarity.ann_pairs_threshold,
+    "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # ✂
+    "embed_norm_by_label": similarity.embed_norm_by_label,
+    # training-data pipeline: text analysis
+    "text_lang_id": textstats.text_lang_id,
+    "text_quality_score": textstats.text_quality_score,
+    "text_token_count_stats": textstats.text_token_count_stats,
+    "text_fingerprint": textstats.text_fingerprint,
+    # multimodal plumbing (stubbed decode, real Spark path)
+    "mm_decode_meta": multimodal.mm_decode_meta,
+    "mm_frame_sample": multimodal.mm_frame_sample,
+    # ✂ extraction pipeline (north-rule path; oracle = pytest goldens)
+    "x_extract_spans": xq.x_extract_spans,
+    "x_extract_tables_csv": xq.x_extract_tables_csv,
+    "x_extract_forms_kv": xq.x_extract_forms_kv,
+    "x_counters_rollup": xq.x_counters_rollup,
+    "x_blocks_by_type": xq.x_blocks_by_type,
+    "x_nodes_density_relational": xq.x_nodes_density_relational,
+    "x_point_lookup_conv": xq.x_point_lookup_conv,
+    "x_search_tokens_topk": xq.x_search_tokens_topk,
+}
+
+_TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+
+ORACLE_SQL = {
+    "b2_filter_scan_pushdown": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_quantity < 24
+    """,
+    "b12_agg_confidence_stats": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 0) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "b1_join_blockmap_lookup": """
+        SELECT r_name, n_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 0) AS sum_totalprice
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "b3_child_traversal_posexplode": """
+        SELECT doc_id, pos, tok FROM (
+            SELECT doc_id,
+                   CAST(generate_subscripts(regexp_split_to_array(text, ' '), 1) - 1 AS INT) AS pos,
+                   unnest(regexp_split_to_array(text, ' ')) AS tok
+            FROM documents
+        ) WHERE pos < 5
+    """,
+    "b4_ordered_text_assembly": """
+        SELECT l_orderkey,
+               string_agg(l_returnflag, ' ' ORDER BY l_linenumber, l_returnflag) AS line_text
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "b5_two_level_ordered_concat": """
+        WITH d AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   string_agg(event_type, ' ' ORDER BY ts, event_id) AS day_text
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        )
+        SELECT user_id, string_agg(day_text, chr(10) ORDER BY day) AS doc_text
+        FROM d GROUP BY user_id
+    """,
+    "b6_grid_pivot_fixed": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM events GROUP BY user_id
+    """,
+    "b7_anti_join_swallowed": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "b15_semi_join_referenced": """
+        SELECT p_partkey, p_name FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 45)
+    """,
+    "b13_window_reading_order": """
+        SELECT user_id, event_id, event_type, rn FROM (
+            SELECT user_id, event_id, event_type,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    "d3_window_neighbor_smoothing": """
+        SELECT event_id, user_id, value,
+               round((coalesce(prev_v, value) + value + coalesce(next_v, value)) / 3.0, 4) AS smoothed
+        FROM (
+            SELECT event_id, user_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+                   lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
+            FROM events
+        )
+    """,
+    "b14_union_dedup": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT DISTINCT * FROM (
+                SELECT * FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT * FROM events WHERE value > 50
+            )
+        ) GROUP BY event_type
+    """,
+    "a2_distinct_idempotency": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "agg_rollup_lang_source": """
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+    "agg_distinct_users": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "c1_point_lookup": """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id = 42
+    """,
+    "c2_range_status_query": """
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+          AND event_type IN ('click', 'error')
+    """,
+    "c5_search_ilike": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE lower(text) LIKE '%spark%' AND lower(text) LIKE '%window%'
+    """,
+    "c5_search_rank_topk": f"""
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS score FROM (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+        ) WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "c6_tokenize_df": f"""
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+        ) WHERE term <> '' GROUP BY term
+    """,
+    "f2_salted_two_phase_agg": """
+        SELECT l_suppkey, sum(l_quantity) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_dups,
+               CAST(min(doc_id) AS BIGINT) AS keep_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOK} AS L FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(L) >= 3
+                          THEN list_transform(generate_series(1, len(L) - 2),
+                                               i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
+                          ELSE [] END) AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+    """,
+    "ann_cosine_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+    "ann_pairs_threshold": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+              FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.uv, b.uv), 6) AS cos_sim
+        FROM u a JOIN u b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.45
+    """,
+    "embed_norm_by_label": """
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round(avg(sqrt(list_dot_product(v, v))), 4) AS avg_norm
+        FROM e GROUP BY label
+    """,
+    "text_lang_id": """
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% data %' THEN 1 ELSE 0 END
+                  + CASE WHEN ' ' || lower(text) || ' ' LIKE '% fast %' THEN 1 ELSE 0 END) AS hits
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN hits >= 2 THEN 'en'
+                    WHEN hits = 1 THEN 'mixed'
+                    ELSE 'unk' END AS lang_pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2
+    """,
+    "text_quality_score": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(list_filter({_TOK}, x -> x <> '')) AS nt,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars,
+                   length(text) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(nt AS INT) AS n_tokens,
+               round(alpha_chars * 1.0 / n, 4) AS alpha_ratio,
+               round(alpha_chars * 1.0 / nt, 4) AS mean_tok_len,
+               CASE WHEN nt < 20 THEN 'short'
+                    WHEN nt < 60 THEN 'medium'
+                    ELSE 'long' END AS quality_bucket
+        FROM s
+    """,
+    "text_token_count_stats": f"""
+        WITH c AS (
+            SELECT lang, len(list_filter({_TOK}, x -> x <> '')) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM c GROUP BY lang
+    """,
+    "text_fingerprint": """
+        SELECT source,
+               CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT) AS n_unique,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "mm_decode_meta": """
+        WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+        SELECT doc_id,
+               CAST(nb AS INT) AS n_bytes,
+               CAST(nb % 640 + 16 AS INT) AS width,
+               CAST((nb * 7) % 480 + 16 AS INT) AS height,
+               CAST(nb % 8 + 1 AS INT) AS n_frames,
+               CASE WHEN nb % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec
+        FROM b
+    """,
+    "mm_frame_sample": """
+        WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+        SELECT doc_id, CAST(unnest(generate_series(0, nb % 8)) AS INT) AS frame_idx
+        FROM b
+    """,
+}

@@ -1,0 +1,224 @@
+"""SURVEY.md §2.B/§2.E relational operators, expressed as
+Catalyst-planned DataFrame ops over the driver testdata tables.
+
+Each function mirrors a reference behavior (docstring cites the SURVEY
+operator id) and has a DuckDB oracle twin in ``registry.ORACLE_SQL``.
+Scale notes are inline: broadcast hints for dimension joins, two-phase
+ordered aggregation via array_sort(collect_list(struct(...))) — NEVER a
+bare collect_list (SURVEY.md §2.E "Sort aggregation" — the №1
+correctness trap), partial aggregation left to Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io_util import t
+
+
+def b2_filter_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 type-filter analog: conjunctive predicates + narrow projection;
+    both reach the parquet scan (PushedFilters/ReadSchema asserted in
+    tests/test_plans.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def b12_agg_confidence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 confidence-stats analog (TPC-H Q1 shape): hash aggregation
+    with automatic partial+final (map-side combine)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def b1_join_blockmap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 id→block map lookup as a join chain; small dims (nation,
+    region) are broadcast — the Spark analog of the per-document
+    in-memory map the reference builds in Lambda."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("sum_totalprice"),
+        )
+    )
+
+
+def b3_child_traversal_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 CHILD expansion analog: posexplode keeps array order — the
+    property every Relationship.Ids traversal depends on."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+        )
+        .filter(F.col("pos") < 5)
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+    )
+
+
+def b4_ordered_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 get_text analog: ORDER-SENSITIVE concat. collect_list order is
+    undefined post-shuffle, so the sort key rides inside the struct:
+    array_sort(collect_list(struct(pos, text))) → transform → concat_ws."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_returnflag"))),
+                lambda x: x["l_returnflag"],
+            ),
+        ).alias("line_text")
+    )
+
+
+def b5_two_level_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 page→document text analog: two nested order-sensitive
+    aggregations (LINE-per-PAGE then PAGE-per-doc)."""
+    ev = t(spark, sf_dir, "events")
+    day = ev.withColumn("day", F.to_date("ts"))
+    per_day = day.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("day_text")
+    )
+    return per_day.groupBy("user_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "day_text"))),
+                lambda x: x["day_text"],
+            ),
+        ).alias("doc_text")
+    )
+
+
+def b6_grid_pivot_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 grid-placement analog with a FIXED column set (dynamic-width
+    grids stay in the UDF path, SURVEY.md §2.B B6): conditional
+    aggregation, one shuffle, no pivot two-pass."""
+    ev = t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == et, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{et}")
+        for et in ("click", "view", "error", "signup")
+    ]
+    return ev.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n_total"))
+
+
+def b7_anti_join_swallowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 merged-cell swallow / B15 orphan analog: left_anti join
+    (customers that never ordered)."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def b15_semi_join_referenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 inverse: ids that ARE referenced (left_semi) — parts shipped
+    in bulk."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+def b13_window_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 geometry reading-order analog: rank within partition by a
+    total order (ts, event_id tiebreak — determinism discipline F5)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "rn")
+    )
+
+
+def d3_window_neighbor_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 neighbor-smoothed density classification analog: lag/lead over
+    node order (here: event value over time per user)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    nxt = F.lead("value").over(w)
+    smoothed = (F.coalesce(prev, F.col("value")) + F.col("value") + F.coalesce(nxt, F.col("value"))) / 3.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(smoothed, 4).alias("smoothed"),
+    )
+
+
+def b14_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 page-chunk union analog: order-preserving union of
+    overlapping chunks + id dedup, then a stable aggregate."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("value") > 50)
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def a2_distinct_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 idempotency-token analog: distinct projection."""
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def agg_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric rollups (SURVEY.md §2.E grouping sets)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine metrics: exact distinct + avg (SURVEY.md §2.E hash agg)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

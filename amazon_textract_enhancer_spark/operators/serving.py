@@ -1,0 +1,78 @@
+"""SURVEY.md §2.C — the query/serving surface (the reference's
+DynamoDB point-lookup and Elasticsearch full-text paths, answered as
+Spark SQL; BASELINE.json:6).
+
+C6 tokenization is pure Spark SQL (split/lower/explode — no UDF); C5
+search is two tiers: a predicate scan (oracle-checkable ILIKE) and a
+tokens inverted index with TF ranking + deterministic top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io_util import t
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def tokenize(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """C6 — text → (id..., term) rows; lowercase, split on non-alnum,
+    empties dropped. Identical semantics to the DuckDB twin
+    regexp_split_to_array(lower(text), '[^a-z0-9]+')."""
+    return (
+        df.select(*id_cols, F.explode(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def c1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — DynamoDB GetItem analog: point predicate, pushed to the scan
+    (bucket/row-group prune on a bucketed production table)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") == 42).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def c2_range_status_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — list/status query: time-range + status predicate
+    (partition-stats prune on ts in production)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-02").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("event_type").isin("click", "error"))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def c5_search_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 tier (i) — predicate full-text scan (ES match analog, oracle-
+    checkable)."""
+    docs = t(spark, sf_dir, "documents")
+    lo = F.lower(F.col("text"))
+    return docs.filter(lo.like("%spark%") & lo.like("%window%")).select(
+        "doc_id", "n_chars"
+    )
+
+
+def c5_search_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 tier (ii) — tokens inverted index + TF scoring + deterministic
+    top-k (orderBy desc(score), doc_id → TakeOrderedAndProject)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", ["doc_id"])
+    return (
+        toks.filter(F.col("term").isin("spark", "merge", "window"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def c6_tokenize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/A9 — the ES index analog: document frequency per term."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", ["doc_id"])
+    return toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

@@ -1,0 +1,131 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k is the exact baseline (oracle-checked against
+DuckDB); the LSH-bucketed variant (random-hyperplane signs) is the
+scale path — at 10^12 rows the bucket equi-join touches only candidate
+buckets instead of the full cross product.
+
+Dot products are pure Spark expressions (zip_with + aggregate over the
+double-cast array) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io_util import t
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k vs the vec_id=0 query vector.
+    The 1-row query side is broadcast; ranking is
+    TakeOrderedAndProject (no full sort)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    sim = F.round(
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def ann_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.45), exact — the
+    verification stage of an embedding dedup pipeline."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # pre-normalize once: cos = dot(u_a, u_b)
+    unit = emb.select(
+        "vec_id",
+        F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"),
+    )
+    a = unit.alias("a")
+    b = unit.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_dot(F.col("a.u"), F.col("b.u")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """✂ Scale path: random-hyperplane LSH. Signature bit b =
+    sign(dot(v, plane_b)) with deterministic pseudo-planes derived from
+    xxhash64(dim, b) — no randomness, no driver-side plane matrix.
+    Same-bucket candidate pairs are then exactly verified. Rows-only
+    check (engine-specific hashing)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n_planes = 8
+    # plane_b[dim] = (xxhash64(dim, b) % 2001 - 1000) / 1000  in [-1, 1]
+    def plane_component(dim: Column, b: int) -> Column:
+        return (F.pmod(F.xxhash64(dim.cast("int"), F.lit(b)), F.lit(2001)) - 1000) / 1000.0
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.transform(F.sequence(F.lit(0), F.size("v") - 1), lambda i: plane_component(i, b)),
+                lambda x, p: x * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << b)).otherwise(0)
+    bucketed = emb.select("vec_id", "v", sig.alias("bucket"))
+    a = bucketed.alias("a")
+    b2 = bucketed.alias("b")
+    cand = a.join(
+        b2,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return cand.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.4)
+
+
+def embed_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate: avg L2 norm per label (oracle-checked)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(_norm(F.col("v"))), 4).alias("avg_norm"),
+    )

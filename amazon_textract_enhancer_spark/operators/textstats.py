@@ -1,0 +1,83 @@
+"""Text-analysis operators for a training-data pipeline: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+All pure Spark SQL expressions (whole-stage codegen; no UDF), each with
+a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io_util import t
+from .serving import TOKEN_PATTERN
+
+# deterministic stopword-hit language heuristic (mirrored in SQL)
+EN_MARKERS = (" the ", " a ", " data ", " fast ")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: count EN marker hits;
+    >=2 → 'en', 1 → 'mixed', 0 → 'unk'."""
+    docs = t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    hits = None
+    for m in EN_MARKERS:
+        h = F.when(padded.like(f"%{m}%"), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    pred = (
+        F.when(hits >= 2, "en").when(hits == 1, "mixed").otherwise("unk")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred")).groupBy(
+        "lang", "lang_pred"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, alpha ratio,
+    and a bucket — the length/punct/stopword-ratio family."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
+    )
+    n_tokens = F.size(toks).cast("int")
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    alpha_ratio = F.round(alpha_chars / F.length("text"), 4)
+    mean_tok_len = F.round(alpha_chars / n_tokens, 4)
+    bucket = (
+        F.when(n_tokens < 20, "short")
+        .when(n_tokens < 60, "medium")
+        .otherwise("long")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def text_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per (lang, source): total/mean tokens —
+    the budgeting query every training-data pipeline runs."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != "")
+    )
+    return docs.groupBy("lang").agg(
+        F.sum(n_tokens).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text; distinct fingerprints per source (near-exact dedup census)."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return docs.groupBy("source").agg(
+        F.countDistinct(F.md5(norm)).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
