@@ -132,6 +132,7 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
                CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
                CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
                CAST(count(*) AS BIGINT) AS n_total
         FROM events GROUP BY user_id
     """,

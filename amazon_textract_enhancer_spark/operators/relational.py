@@ -129,7 +129,7 @@ def b6_grid_pivot_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == et, 1).otherwise(0))
         .cast("long")
         .alias(f"n_{et}")
-        for et in ("click", "view", "error", "signup")
+        for et in ("click", "view", "error", "signup", "purchase")
     ]
     return ev.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n_total"))
 

@@ -1,0 +1,87 @@
+"""The end-to-end extraction job (SURVEY.md §3.1 "ours"):
+
+    transcripts (scan, column-pruned)
+    → fused extraction UDF stage        (stages.extract_spans)
+    → extracted_spans commit            (F1 bucketed by conv_id, F3)
+    → conversation rollup commit        (F2 salted two-phase agg)
+    → tokens inverted-index commit      (A9/C5-ii serving table)
+
+Every stage commits atomically with per-partition lineage counters and
+resumes from the manifest if already committed for the same input
+snapshot (kill-resume test: tests/test_checkpoint_resume.py). This is
+also the job the bench harness runs at two parallelism levels for the
+scaling-efficiency evidence (BASELINE.md protocol).
+
+Cluster launch: ``spark-submit --py-files ates.zip run_pipeline.py``
+(see bench_scaling.py for the exact invocation used in-sandbox).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.scale import salted_conv_rollup
+from .operators.serving import tokenize
+from .sources.tableio import TableIO, snapshot_id_of
+from .stages import extract_spans
+
+CONFIG_HASH = "pipeline-v1"
+
+
+def run_extraction_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    warehouse: str,
+    n_buckets: int = 16,
+    input_snapshot: str | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline; returns manifests per stage."""
+    io = TableIO(warehouse)
+    if input_snapshot is None:
+        input_snapshot = snapshot_id_of(transcripts, ["conv_id", "turn_idx"])
+
+    manifests: dict[str, dict] = {}
+
+    # stage 1: extraction (shuffle-free UDF stage) + bucketed commit (F1)
+    if io.is_committed("extracted_spans", input_snapshot, CONFIG_HASH):
+        manifests["extracted_spans"] = io.read_manifest("extracted_spans")
+    else:
+        spans = extract_spans(transcripts)
+        manifests["extracted_spans"] = io.commit_stage(
+            spans,
+            "extracted_spans",
+            input_snapshot,
+            CONFIG_HASH,
+            counter_cols=["counters.blocks_parsed", "counters.tables_reconstructed",
+                          "counters.kv_pairs"],
+            bucket_col="conv_id",
+            n_buckets=n_buckets,
+        )
+    spans = io.read_table(spark, "extracted_spans")
+
+    # stage 2: conversation rollup (explicit salting F2)
+    if io.is_committed("conv_rollup", input_snapshot, CONFIG_HASH):
+        manifests["conv_rollup"] = io.read_manifest("conv_rollup")
+    else:
+        rollup = salted_conv_rollup(spans)
+        manifests["conv_rollup"] = io.commit_stage(
+            rollup, "conv_rollup", input_snapshot, CONFIG_HASH,
+            counter_cols=["n_turns", "n_tables", "n_forms", "n_skipped"],
+        )
+
+    # stage 3: tokens inverted index (serving layer A9/C5)
+    if io.is_committed("tokens", input_snapshot, CONFIG_HASH):
+        manifests["tokens"] = io.read_manifest("tokens")
+    else:
+        toks = (
+            tokenize(spans, "extracted_text", ["conv_id", "turn_idx"])
+            .groupBy("term", "conv_id", "turn_idx")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
+        manifests["tokens"] = io.commit_stage(
+            toks, "tokens", input_snapshot, CONFIG_HASH,
+            counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,
+        )
+
+    return manifests

@@ -1,0 +1,169 @@
+"""F3/F4 — checkpoint/commit with per-partition lineage + counters,
+and resume from the last committed stage (SURVEY.md §2.F; the Spark
+analog of the reference's idempotent job tokens + SNS-driven restart:
+vendor/textract-service-2.json:1553-1558 ClientRequestToken semantics).
+
+Commit protocol (atomic on POSIX rename):
+
+1. write parquet to ``<table>/.tmp-<nonce>/``
+2. fsync-equivalent barrier (Spark job completion)
+3. ``os.replace`` the tmp dir to ``<table>/data/``
+4. write ``<table>/_manifest.json`` with (stage, input_snapshot,
+   config_hash, rows, per-partition lineage counters)
+
+A re-run with the same (stage, input_snapshot, config_hash) finds the
+manifest and SKIPS the stage — that is the resume path. A killed job
+left only a ``.tmp-*`` dir, which the next run garbage-collects; the
+manifest is written last, so a manifest always describes complete data.
+
+On a real cluster the same seam maps to Iceberg snapshot commits
+(``iceberg_session_conf``); snapshot ids replace input_snapshot hashes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def iceberg_session_conf(catalog: str = "lake", warehouse: str = "s3://bucket/wh") -> dict:
+    """Spark conf for the production Iceberg path (documented, not used
+    in-sandbox — no Iceberg runtime jar here)."""
+    return {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "glue",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.extensions": "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    }
+
+
+class TableIO:
+    """Parquet-backed table store with atomic manifest commits."""
+
+    def __init__(self, warehouse: str) -> None:
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def data_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), "data")
+
+    def manifest_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), MANIFEST)
+
+    # -- manifest -------------------------------------------------------
+    def read_manifest(self, name: str) -> dict | None:
+        p = self.manifest_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def is_committed(self, name: str, input_snapshot: str, config_hash: str) -> bool:
+        m = self.read_manifest(name)
+        return (
+            m is not None
+            and m.get("input_snapshot") == input_snapshot
+            and m.get("config_hash") == config_hash
+        )
+
+    # -- commit ---------------------------------------------------------
+    def commit_stage(
+        self,
+        df: DataFrame,
+        name: str,
+        input_snapshot: str,
+        config_hash: str = "v1",
+        counter_cols: list[str] | None = None,
+        bucket_col: str | None = None,
+        n_buckets: int = 8,
+    ) -> dict:
+        """Write ``df`` as stage output ``name``; no-op if the same
+        (input_snapshot, config_hash) is already committed (resume).
+
+        counter_cols: numeric columns summed per partition into the
+        manifest's lineage block (F4). bucket_col: repartition on this
+        column before write — the sandbox emulation of Iceberg
+        ``bucket(N, col)`` so downstream per-key work is co-located.
+        """
+        if self.is_committed(name, input_snapshot, config_hash):
+            return self.read_manifest(name)  # resume: skip stage
+
+        tpath = self.table_path(name)
+        os.makedirs(tpath, exist_ok=True)
+        # GC half-written tmp dirs from killed runs
+        for d in os.listdir(tpath):
+            if d.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(tpath, d), ignore_errors=True)
+
+        if bucket_col is not None:
+            df = df.repartition(n_buckets, bucket_col)
+
+        tmp = os.path.join(tpath, f".tmp-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(tmp)
+
+        # F4: per-partition lineage counters, computed from the written
+        # files so the manifest describes exactly what was committed
+        spark = df.sparkSession
+        written = spark.read.parquet(tmp)
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for c in counter_cols or []:
+            aggs.append(F.sum(c).cast("long").alias(c.replace(".", "_")))
+        lineage_rows = (
+            written.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(*aggs)
+            .collect()
+        )
+        lineage = sorted(
+            (r.asDict() for r in lineage_rows), key=lambda r: r["partition_id"]
+        )
+        total_rows = sum(r["rows"] for r in lineage)
+
+        data = self.data_path(name)
+        if os.path.exists(data):
+            shutil.rmtree(data)
+        os.replace(tmp, data)
+
+        manifest = {
+            "stage": name,
+            "input_snapshot": input_snapshot,
+            "config_hash": config_hash,
+            "rows": total_rows,
+            "n_partitions": len(lineage),
+            "lineage": lineage,
+            "committed_at_unix": int(time.time()),
+            "bucket_col": bucket_col,
+            "n_buckets": n_buckets if bucket_col else None,
+        }
+        tmp_manifest = self.manifest_path(name) + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp_manifest, self.manifest_path(name))
+        return manifest
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.data_path(name))
+
+
+def snapshot_id_of(df: DataFrame, key_cols: list[str]) -> str:
+    """Content-derived snapshot id for a sandbox input table (stands in
+    for the Iceberg snapshot id): order-insensitive xxhash64-xor over
+    the key columns. Cheap (no text deserialization) and deterministic."""
+    # pmod keeps the ANSI-mode sum far from long overflow at any row count
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(1_000_000_007))
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h).alias("h"),
+    ).collect()[0]
+    return f"rows={row['n']}:hash={row['h']}"

@@ -1,0 +1,121 @@
+"""Incrementality (SURVEY.md §3.3) — the SNS-completion analog.
+
+The reference is push-incremental: SNS fires per completed document
+and a Lambda post-processes just that document. Our equivalents:
+
+1. ``incremental_extract`` — batch-incremental snapshot diff: compare
+   the new transcripts snapshot against the committed manifest's
+   per-conversation fingerprints, re-extract ONLY new/changed
+   conversations, and merge into extracted_spans. At 10^12 turns this
+   is the only affordable refresh path.
+
+2. ``stream_extract`` — Structured Streaming ``availableNow`` shape for
+   file-arrival pipelines: readStream over a transcript directory →
+   the same fused extraction stage (mapInPandas works on streaming
+   DataFrames) → parquet sink with checkpointLocation. Exactly-once
+   via the streaming commit log.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tableio import TableIO
+from ..stages import extract_spans
+
+
+def conv_fingerprints(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, fp): order-insensitive per-conversation content hash —
+    the change-detection key for snapshot diffing."""
+    h = F.pmod(F.xxhash64("conv_id", "turn_idx", "text"), F.lit(1_000_000_007))
+    return transcripts.groupBy("conv_id").agg(
+        F.sum(h).alias("fp"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+
+
+def incremental_extract(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    warehouse: str,
+) -> dict:
+    """Snapshot-diff refresh of extracted_spans.
+
+    Changed set = conv_ids whose fingerprint differs from (or is absent
+    in) the committed spans table's source fingerprints. Unchanged
+    conversations' spans are carried over without re-extraction; the
+    merged table is committed atomically under the new snapshot id.
+    Returns {"changed_convs": int, "reused_convs": int, "manifest": …}.
+    """
+    io = TableIO(warehouse)
+    fp_new = conv_fingerprints(new_transcripts)
+
+    have_prev = io.read_manifest("extracted_spans") is not None and (
+        io.read_manifest("conv_fingerprints") is not None
+    )
+    if not have_prev:
+        changed = fp_new
+        reused_spans = None
+    else:
+        fp_old = io.read_table(spark, "conv_fingerprints")
+        joined = fp_new.alias("n").join(
+            fp_old.alias("o"), F.col("n.conv_id") == F.col("o.conv_id"), "left"
+        )
+        changed = joined.filter(
+            F.col("o.fp").isNull() | (F.col("n.fp") != F.col("o.fp"))
+        ).select(F.col("n.conv_id").alias("conv_id"), F.col("n.fp").alias("fp"),
+                 F.col("n.n_turns").alias("n_turns"))
+        prev_spans = io.read_table(spark, "extracted_spans")
+        reused_spans = prev_spans.join(changed, "conv_id", "left_anti")
+        # drop spans for conversations deleted from the new snapshot
+        reused_spans = reused_spans.join(
+            fp_new.select("conv_id"), "conv_id", "left_semi"
+        )
+
+    todo = new_transcripts.join(changed.select("conv_id"), "conv_id", "left_semi")
+    new_spans = extract_spans(todo)
+    merged = new_spans if reused_spans is None else reused_spans.unionByName(new_spans)
+
+    from ..sources.tableio import snapshot_id_of
+
+    snap = snapshot_id_of(new_transcripts, ["conv_id", "turn_idx"])
+    n_changed = changed.count()
+    n_total = fp_new.count()
+    manifest = io.commit_stage(
+        merged, "extracted_spans", snap, "incremental-v1",
+        counter_cols=["counters.blocks_parsed"], bucket_col="conv_id",
+    )
+    io.commit_stage(fp_new, "conv_fingerprints", snap, "incremental-v1")
+    return {
+        "changed_convs": n_changed,
+        "reused_convs": n_total - n_changed,
+        "manifest": manifest,
+    }
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """availableNow streaming run over a transcript parquet directory:
+    processes all files present, commits exactly-once, terminates."""
+    from ..schemas import TRANSCRIPT_SCHEMA
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    )
+    spans = extract_spans(stream)
+    q = (
+        spans.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,191 @@
+"""M4 tests — F1 bucketing, F2 salting invariants, F3 checkpoint/
+kill-resume, F4 lineage counters, incremental snapshot-diff refresh,
+availableNow streaming (SURVEY.md §5.3/§5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_textract_enhancer_spark.fixtures import generate_transcripts, rows_to_pandas
+from amazon_textract_enhancer_spark.pipeline import run_extraction_pipeline
+from amazon_textract_enhancer_spark.schemas import TRANSCRIPT_SCHEMA
+from amazon_textract_enhancer_spark.sources.tableio import TableIO
+from amazon_textract_enhancer_spark.stages import extract_spans
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _hash_table(df, cols):
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(1_000_000_007))
+    return df.select(F.sum(h).alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
+
+
+def test_pipeline_commit_and_resume_identical(spark, transcripts_df, warehouse):
+    m1 = run_extraction_pipeline(spark, transcripts_df, warehouse)
+    assert set(m1) == {"extracted_spans", "conv_rollup", "tokens"}
+    io = TableIO(warehouse)
+    h_before = _hash_table(
+        io.read_table(spark, "extracted_spans"), ["conv_id", "turn_idx", "extracted_text"]
+    )
+    committed_at = io.read_manifest("extracted_spans")["committed_at_unix"]
+
+    # resume: second run must be a no-op (manifests returned unchanged)
+    m2 = run_extraction_pipeline(spark, transcripts_df, warehouse)
+    assert io.read_manifest("extracted_spans")["committed_at_unix"] == committed_at
+    h_after = _hash_table(
+        io.read_table(spark, "extracted_spans"), ["conv_id", "turn_idx", "extracted_text"]
+    )
+    assert h_before == h_after
+    assert m2["conv_rollup"]["rows"] == m1["conv_rollup"]["rows"]
+
+
+def test_kill_between_stages_resumes_byte_identical(spark, transcripts_df, warehouse):
+    """Simulate a kill after stage 1: only extracted_spans committed;
+    rerun completes the remaining stages; extracted_spans untouched and
+    final outputs equal an uninterrupted run (SURVEY.md §5.3)."""
+    from amazon_textract_enhancer_spark.pipeline import CONFIG_HASH
+    from amazon_textract_enhancer_spark.sources.tableio import snapshot_id_of
+
+    io = TableIO(warehouse)
+    snap = snapshot_id_of(transcripts_df, ["conv_id", "turn_idx"])
+    io.commit_stage(
+        extract_spans(transcripts_df), "extracted_spans", snap, CONFIG_HASH,
+        bucket_col="conv_id", n_buckets=16,
+    )
+    spans_manifest = io.read_manifest("extracted_spans")
+
+    # "restart": full pipeline resumes from the manifest
+    m = run_extraction_pipeline(spark, transcripts_df, warehouse)
+    assert m["extracted_spans"]["committed_at_unix"] == spans_manifest["committed_at_unix"]
+
+    # uninterrupted control run in a fresh warehouse
+    control = warehouse + "-control"
+    mc = run_extraction_pipeline(spark, transcripts_df, control)
+    io_c = TableIO(control)
+    for table in ("extracted_spans", "conv_rollup", "tokens"):
+        a = _hash_table(io.read_table(spark, table), _key_cols(table))
+        b = _hash_table(io_c.read_table(spark, table), _key_cols(table))
+        assert a == b, table
+    shutil.rmtree(control, ignore_errors=True)
+
+
+def _key_cols(table):
+    return {
+        "extracted_spans": ["conv_id", "turn_idx", "extracted_text"],
+        "conv_rollup": ["conv_id", "n_turns", "n_tables", "n_forms", "n_chars"],
+        "tokens": ["term", "conv_id", "turn_idx", "tf"],
+    }[table]
+
+
+def test_halfwritten_tmp_dir_is_garbage_collected(spark, transcripts_df, warehouse):
+    io = TableIO(warehouse)
+    tpath = io.table_path("extracted_spans")
+    os.makedirs(os.path.join(tpath, ".tmp-deadbeef"), exist_ok=True)
+    with open(os.path.join(tpath, ".tmp-deadbeef", "part-0.parquet"), "w") as f:
+        f.write("junk from a killed run")
+    run_extraction_pipeline(spark, transcripts_df, warehouse)
+    assert not any(d.startswith(".tmp-") for d in os.listdir(tpath))
+    assert io.read_manifest("extracted_spans")["rows"] > 0
+
+
+def test_lineage_counters_sum_to_totals(spark, transcripts_df, warehouse):
+    """F4: manifest lineage is a partition of the data (no loss/dup)."""
+    run_extraction_pipeline(spark, transcripts_df, warehouse)
+    io = TableIO(warehouse)
+    m = io.read_manifest("extracted_spans")
+    assert m["rows"] == transcripts_df.count()
+    assert sum(r["rows"] for r in m["lineage"]) == m["rows"]
+    total_blocks = sum(r["counters_blocks_parsed"] for r in m["lineage"])
+    want = (
+        extract_spans(transcripts_df)
+        .agg(F.sum("counters.blocks_parsed"))
+        .collect()[0][0]
+    )
+    assert total_blocks == want
+    # bucketing recorded
+    assert m["bucket_col"] == "conv_id"
+
+
+def test_salting_is_a_partition_of_input(spark, transcripts_df):
+    """F2 property: salted two-phase rollup == direct rollup (SURVEY.md
+    §5.3 'salting is a partition of the input')."""
+    from amazon_textract_enhancer_spark.operators.scale import salted_conv_rollup
+
+    spans = extract_spans(transcripts_df)
+    salted = salted_conv_rollup(spans).orderBy("conv_id").collect()
+    direct = (
+        spans.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.size("tables")).cast("long").alias("n_tables"),
+            F.sum(F.size("forms")).cast("long").alias("n_forms"),
+            F.sum(F.when(F.col("counters.skipped"), 1).otherwise(0)).cast("long").alias("n_skipped"),
+            F.sum(F.length("extracted_text")).cast("long").alias("n_chars"),
+        )
+        .orderBy("conv_id")
+        .collect()
+    )
+    assert salted == direct
+
+
+def test_incremental_snapshot_diff(spark, warehouse):
+    """Only changed/new conversations are re-extracted; results match a
+    full recompute."""
+    from amazon_textract_enhancer_spark.streaming import incremental_extract
+
+    rows_v1, _ = generate_transcripts(seed=42, n_convs=12)
+    df_v1 = spark.createDataFrame(rows_to_pandas(rows_v1), schema=TRANSCRIPT_SCHEMA)
+    r1 = incremental_extract(spark, df_v1, warehouse)
+    assert r1["changed_convs"] == 12
+
+    # v2: drop one conv, mutate one conv, add one conv
+    rows_v2 = [dict(r) for r in rows_v1 if r["conv_id"] != "conv00000001"]
+    for r in rows_v2:
+        if r["conv_id"] == "conv00000002" and r["turn_idx"] == 0:
+            r["text"] = "changed plain text content"
+    extra, _ = generate_transcripts(seed=99, n_convs=1)
+    for r in extra:
+        r["conv_id"] = "conv99999999"
+        rows_v2.append(r)
+    df_v2 = spark.createDataFrame(rows_to_pandas(rows_v2), schema=TRANSCRIPT_SCHEMA)
+
+    r2 = incremental_extract(spark, df_v2, warehouse)
+    assert r2["changed_convs"] == 2  # mutated + new
+    assert r2["reused_convs"] == 10
+
+    io = TableIO(warehouse)
+    got = io.read_table(spark, "extracted_spans")
+    # full recompute control
+    want = extract_spans(df_v2)
+    a = _hash_table(got, ["conv_id", "turn_idx", "extracted_text"])
+    b = _hash_table(want, ["conv_id", "turn_idx", "extracted_text"])
+    assert a == b
+    assert got.filter(F.col("conv_id") == "conv00000001").count() == 0
+
+
+def test_streaming_available_now(spark, tmp_path):
+    """availableNow structured-streaming shape over a file source."""
+    from amazon_textract_enhancer_spark.streaming import stream_extract
+
+    rows, _ = generate_transcripts(seed=42, n_convs=6)
+    df = spark.createDataFrame(rows_to_pandas(rows), schema=TRANSCRIPT_SCHEMA)
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df.write.parquet(input_dir)
+
+    stream_extract(spark, input_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == df.count()
+    # exactly-once: second availableNow run adds nothing
+    stream_extract(spark, input_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == df.count()

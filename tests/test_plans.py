@@ -1,0 +1,88 @@
+"""Physical-plan assertions (SURVEY.md §4/§6): the plans are the ones
+we designed for 100 TB, not merely correct — pushdown reaches the
+parquet scan, projection prunes columns, small dims broadcast, top-k
+avoids a full sort, and extraction is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from amazon_textract_enhancer_spark.operators import registry
+from amazon_textract_enhancer_spark.plans import (
+    executed_plan,
+    formatted_plan,
+    n_broadcast_joins,
+    n_exchanges,
+    pushed_filters,
+    read_schema,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _q(spark, name):
+    return registry.SPARK_QUERIES[name](spark, SF_DIR)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _q(spark, "b2_filter_scan_pushdown")
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf and "l_shipdate" in pf, pf
+
+
+def test_column_pruning_narrow_readschema(spark):
+    df = _q(spark, "b2_filter_scan_pushdown")
+    rs = read_schema(df)
+    # 16-column lineitem pruned to the 5 referenced columns; the wide
+    # comment-free scan is the difference between 100 TB and 30 TB read
+    assert "l_orderkey" in rs and "l_extendedprice" in rs
+    assert "l_partkey" not in rs and "l_returnflag" not in rs, rs
+
+
+def test_small_dims_are_broadcast(spark):
+    df = _q(spark, "b1_join_blockmap_lookup")
+    assert n_broadcast_joins(df) >= 2  # nation and region at minimum
+
+
+def test_topk_is_take_ordered_not_full_sort(spark):
+    df = _q(spark, "c5_search_rank_topk")
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_extraction_stage_is_shuffle_free(spark, transcripts_df):
+    from amazon_textract_enhancer_spark.stages import extract_spans
+
+    df = extract_spans(transcripts_df)
+    assert n_exchanges(df) == 0
+    assert executed_plan(df).count("MapInPandas") == 1
+
+
+def test_point_lookup_pushes_id_predicate(spark):
+    df = _q(spark, "c1_point_lookup")
+    assert "doc_id" in pushed_filters(df)
+
+
+def test_salted_agg_is_two_exchanges_max(spark):
+    # partial (salted) + final: the plan must not add extra shuffles
+    df = _q(spark, "f2_salted_two_phase_agg")
+    assert n_exchanges(df) <= 2, executed_plan(df)
+
+
+def test_whole_stage_codegen_covers_relational_ops(spark):
+    df = _q(spark, "b12_agg_confidence_stats")
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = executed_plan(df)
+    assert "WholeStageCodegen" in plan
+    # no Python evaluation anywhere in a pure-relational query
+    assert "Python" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    df = _q(spark, "dedup_exact")
+    assert n_exchanges(df) <= 1, executed_plan(df)
+
+
+def test_ann_topk_broadcasts_query_vector(spark):
+    df = _q(spark, "ann_cosine_topk")
+    plan = executed_plan(df)
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
