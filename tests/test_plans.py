@@ -71,7 +71,8 @@ def test_whole_stage_codegen_covers_relational_ops(spark):
     df = _q(spark, "b12_agg_confidence_stats")
     df.collect()  # AQE finalizes the plan only on execution
     plan = executed_plan(df)
-    assert "WholeStageCodegen" in plan
+    # codegen stages render as "*(n)" markers in executedPlan.toString
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
     # no Python evaluation anywhere in a pure-relational query
     assert "Python" not in plan
 
