@@ -66,27 +66,29 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary column → typed metadata via one Arrow-batched mapInPandas
     stage (the multimodal feature-extraction shape). documents.text is
     cast to binary as the stand-in payload column."""
-    import pandas as pd
+    import pyarrow as pa
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [_meta_from_bytes(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "n_frames": [m[2] for m in metas],
-                    "codec": [m[3] for m in metas],
-                }
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            payloads = rb.column(1).to_pylist()
+            metas = [_meta_from_bytes(p) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array([len(p) for p in payloads], pa.int32()),
+                    pa.array([m[0] for m in metas], pa.int32()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.string()),
+                ],
+                names=[f.name for f in IMAGE_META_SCHEMA.fields],
             )
 
-    return docs.mapInPandas(fn, IMAGE_META_SCHEMA)
+    return docs.mapInArrow(fn, IMAGE_META_SCHEMA)
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

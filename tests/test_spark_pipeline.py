@@ -110,5 +110,5 @@ def test_nodes_long_table(spark, transcripts_df, golden_spans):
 def test_extract_plan_shape(transcripts_df):
     """The fused stage is ONE Python eval node and no shuffle."""
     plan = extract_spans(transcripts_df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") == 1
     assert "Exchange" not in plan  # extraction is shuffle-free
