@@ -162,3 +162,28 @@ def x_search_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(25)
     )
+
+
+def x_doc_text_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 as pure Catalyst dataflow over the exploded blocks table —
+    equality with the fused path proven in tests/test_blocks_relational."""
+    from .blocks_relational import document_text_relational
+
+    blocks = extract_blocks_long(fixture_transcripts(spark))
+    return document_text_relational(blocks).orderBy("conv_id", "turn_idx")
+
+
+def x_tables_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6/B9 as Catalyst dataflow: dense-grid fill + CSV quoting in SQL."""
+    from .blocks_relational import tables_relational
+
+    blocks = extract_blocks_long(fixture_transcripts(spark))
+    return tables_relational(blocks).orderBy("conv_id", "turn_idx", "table_id")
+
+
+def x_kv_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 as Catalyst dataflow: VALUE-edge join + two B4 aggregations."""
+    from .blocks_relational import kv_relational
+
+    blocks = extract_blocks_long(fixture_transcripts(spark))
+    return kv_relational(blocks).orderBy("conv_id", "turn_idx", "key")

@@ -37,6 +37,14 @@ SPARK_QUERIES = {
     "a2_distinct_idempotency": rel.a2_distinct_idempotency,
     "agg_rollup_lang_source": rel.agg_rollup_lang_source,
     "agg_distinct_users": rel.agg_distinct_users,
+    "win_frame_moving_avg": rel.win_frame_moving_avg,
+    "set_intersect_users": rel.set_intersect_users,
+    "set_except_users": rel.set_except_users,
+    "date_fns_daily_counts": rel.date_fns_daily_counts,
+    "string_fns_normalize": rel.string_fns_normalize,
+    "math_fns_scores": rel.math_fns_scores,
+    "json_fns_extract": rel.json_fns_extract,
+    "cube_status_priority": rel.cube_status_priority,
     # §2.C serving surface
     "c1_point_lookup": serving.c1_point_lookup,
     "c2_range_status_query": serving.c2_range_status_query,
@@ -72,6 +80,9 @@ SPARK_QUERIES = {
     "x_nodes_density_relational": xq.x_nodes_density_relational,
     "x_point_lookup_conv": xq.x_point_lookup_conv,
     "x_search_tokens_topk": xq.x_search_tokens_topk,
+    "x_doc_text_relational": xq.x_doc_text_relational,
+    "x_tables_relational": xq.x_tables_relational,
+    "x_kv_relational": xq.x_kv_relational,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -332,5 +343,53 @@ ORACLE_SQL = {
         WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
         SELECT doc_id, CAST(unnest(generate_series(0, nb % 8)) AS INT) AS frame_idx
         FROM b
+    """,
+    "win_frame_moving_avg": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        FROM events
+    """,
+    "set_intersect_users": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "set_except_users": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "date_fns_daily_counts": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT extract(hour FROM ts)) AS BIGINT) AS active_hours,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    "string_fns_normalize": """
+        SELECT c_custkey,
+               upper(substring(c_name, 1, 8)) AS name_prefix,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+               replace(c_mktsegment, 'A', '@') AS seg_sub
+        FROM customer
+    """,
+    "math_fns_scores": """
+        SELECT event_id,
+               round(sqrt(value), 4) AS sqrt_v,
+               round(ln(value + 1), 6) AS ln_v1,
+               round(pow(value, 2), 2) AS v_sq
+        FROM events
+    """,
+    "json_fns_extract": """
+        SELECT json_extract_string(props, '$.k') AS k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY json_extract_string(props, '$.k')
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 0) AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 }

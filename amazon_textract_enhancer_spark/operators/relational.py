@@ -222,3 +222,87 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+def win_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (SURVEY.md §2.E): 3-row trailing moving average —
+    the frame variant of the D3 smoothing window."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: users who both clicked and purchased (INTERSECT)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.intersect(b)
+
+
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: users who clicked but never purchased (EXCEPT)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.exceptAll(b).distinct()
+
+
+def date_fns_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: per-day event counts + distinct active hours
+    (day emitted as string — DATE physical types differ across engines)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.hour("ts")).alias("active_hours"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def string_fns_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: substring/upper/lpad/replace over customer."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("@")).alias("seg_sub"),
+    )
+
+
+def math_fns_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: sqrt/ln/pow with cross-engine rounding discipline."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.sqrt("value"), 4).alias("sqrt_v"),
+        F.round(F.log(F.col("value") + 1), 6).alias("ln_v1"),
+        F.round(F.pow("value", 2), 2).alias("v_sq"),
+    )
+
+
+def json_fns_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions: extract props.k (explicit path, never inferSchema)
+    and aggregate — the A4/A5 raw-JSON envelope analog."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: CUBE over order status x priority."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 0).alias("sum_price"),
+    )

@@ -119,3 +119,49 @@ def stream_extract(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    window: str = "1 day",
+) -> None:
+    """Event-time windowed aggregation with a watermark (late-data
+    discipline for streaming ingest): counts per (event-time window,
+    event_type), append mode — a window emits once the watermark passes
+    its end, and later-than-watermark rows are dropped. availableNow
+    trigger: one catch-up run per invocation, exactly-once via the
+    checkpoint. (The reference has no stream engine — SNS push — so
+    this is the Structured Streaming shape its incrementality maps to
+    when input arrives as files; SURVEY.md §2.E 'Streaming' row.)
+    """
+    from pyspark.sql import functions as F
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(input_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

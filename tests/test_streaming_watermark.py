@@ -1,0 +1,66 @@
+"""Watermark / event-time window / late-data semantics (SURVEY.md §2.E
+streaming rows): a window emits once the watermark passes its end, and
+an event arriving later than the watermark allows is DROPPED, not
+double-counted.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from amazon_textract_enhancer_spark.streaming import stream_windowed_counts
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_windowed_counts_with_late_data_drop(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    d1 = dt.datetime(2024, 3, 1)
+    d2 = dt.datetime(2024, 3, 2)
+    d3 = dt.datetime(2024, 3, 3)
+
+    # run 1: day-1 events + a day-2 event that advances the watermark
+    # past day-1's window end (watermark = 2h)
+    batch1 = [
+        (1, d1 + dt.timedelta(hours=1), 1, "click", 1.0),
+        (2, d1 + dt.timedelta(hours=2), 1, "click", 1.0),
+        (3, d1 + dt.timedelta(hours=3), 2, "view", 1.0),
+        (4, d2 + dt.timedelta(hours=12), 2, "click", 1.0),
+    ]
+    _events_df(spark, batch1).write.mode("append").parquet(input_dir)
+    stream_windowed_counts(spark, input_dir, out, ckpt)
+
+    got1 = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # day-1 windows finalized (watermark reached day-2 10:00 > day-1 end)
+    assert got1[("2024-03-01 00:00", "click")] == 2
+    assert got1[("2024-03-01 00:00", "view")] == 1
+    # day-2 window NOT emitted yet (not past watermark)
+    assert ("2024-03-02 00:00", "click") not in got1
+
+    # run 2: one LATE day-1 event (must be dropped — window finalized)
+    # and a day-3 event that finalizes day-2
+    batch2 = [
+        (5, d1 + dt.timedelta(hours=4), 3, "click", 1.0),  # late → dropped
+        (6, d3 + dt.timedelta(hours=12), 3, "view", 1.0),
+    ]
+    _events_df(spark, batch2).write.mode("append").parquet(input_dir)
+    stream_windowed_counts(spark, input_dir, out, ckpt)
+
+    got2 = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # day-1 click count unchanged: the late event was dropped
+    assert got2[("2024-03-01 00:00", "click")] == 2
+    # day-2 window now finalized with its single click
+    assert got2[("2024-03-02 00:00", "click")] == 1
