@@ -156,7 +156,9 @@ def kv_relational(blocks: DataFrame) -> DataFrame:
         & F.array_contains(F.col("entity_types"), "KEY")
     ).select(
         *_KEY, F.col("id").alias("key_id"), F.col("page"),
-        F.element_at(F.col("value_ids"), 1).alias("value_id"),
+        # try_: a KEY with an empty VALUE id list is dangling data, not
+        # an error (B15 discipline — ANSI element_at would throw)
+        F.try_element_at(F.col("value_ids"), F.lit(1)).alias("value_id"),
     )
     kv_texts = container_texts(blocks, ["KEY_VALUE_SET"])
     key_text = kv_texts.withColumnRenamed("id", "key_id").withColumnRenamed(

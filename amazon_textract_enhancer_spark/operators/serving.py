@@ -76,3 +76,41 @@ def c6_tokenize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = tokenize(docs, "text", ["doc_id"])
     return toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+
+def c3_fetch_table(spans: DataFrame, conv_id: str, turn_idx: int, table_n: int) -> DataFrame:
+    """C3 — table N (1-based, document order) of one turn, as csv +
+    dims. try_element_at on the nested column (ANSI-safe: out-of-range
+    → empty result, not an error): no explode, bucket-pruned point scan
+    at production scale."""
+    tbl = F.try_element_at(F.col("tables"), F.lit(table_n))
+    return (
+        spans.filter((F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.lit(table_n).alias("table_n"),
+            tbl["n_rows"].alias("n_rows"),
+            tbl["n_cols"].alias("n_cols"),
+            tbl["csv"].alias("csv"),
+        )
+        .filter(F.col("csv").isNotNull())
+    )
+
+
+def c4_fetch_form_value(spans: DataFrame, conv_id: str, key: str) -> DataFrame:
+    """C4 — form values for a key, case-insensitive trimmed match
+    (the reference's DynamoDB form-lookup convention)."""
+    kv = spans.filter(F.col("conv_id") == conv_id).select(
+        "conv_id", "turn_idx", F.explode("forms").alias("kv")
+    )
+    want = key.strip().lower()
+    return kv.filter(
+        F.lower(F.trim(F.col("kv.key"))) == F.lit(want)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("kv.key").alias("key"),
+        F.col("kv.value").alias("value"),
+        F.col("kv.selection").alias("selection"),
+    )
