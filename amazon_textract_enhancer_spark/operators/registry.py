@@ -45,6 +45,10 @@ SPARK_QUERIES = {
     "math_fns_scores": rel.math_fns_scores,
     "json_fns_extract": rel.json_fns_extract,
     "cube_status_priority": rel.cube_status_priority,
+    "sessionize_events": rel.sessionize_events,
+    "asof_join_last_click": rel.asof_join_last_click,
+    "percentile_exact_values": rel.percentile_exact_values,
+    "unpivot_event_counts": rel.unpivot_event_counts,
     # §2.C serving surface
     "c1_point_lookup": serving.c1_point_lookup,
     "c2_range_status_query": serving.c2_range_status_query,
@@ -391,5 +395,61 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n,
                round(sum(o_totalprice), 0) AS sum_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "sessionize_events": """
+        WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, value,
+                   CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_id
+    """,
+    "asof_join_last_click": """
+        WITH w AS (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                              IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_us
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
+               CAST(last_click_us AS BIGINT) AS last_click_us
+        FROM w WHERE event_type = 'purchase'
+    """,
+    "percentile_exact_values": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS median_value,
+               round(quantile_cont(value, 0.9), 4) AS p90_value
+        FROM events GROUP BY event_type
+    """,
+    "unpivot_event_counts": """
+        WITH wide AS (
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, event_type, n FROM (
+            SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+            UNION ALL SELECT user_id, 'view', n_view FROM wide
+            UNION ALL SELECT user_id, 'error', n_error FROM wide
+            UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+        ) WHERE n > 0
     """,
 }

@@ -306,3 +306,79 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 0).alias("sum_price"),
     )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min ⇒ new session): lag + running sum —
+    the batch form of session_window, per the standard OLAP pattern."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds: float epoch / second-truncation would
+    # flip borderline session breaks differently per engine
+    # ts is TIMESTAMP_NTZ in parquet; session TZ is UTC so the cast
+    # matches DuckDB's naive epoch_us exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("brk", brk).withColumn(
+        "session_id", F.sum("brk").over(run).cast("int")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for every purchase, the
+    most recent prior click of the same user — conditional last_value
+    IGNORE NULLS over the event-time order. The merge_asof-per-group
+    Pandas variant is the fallback for true two-table as-ofs."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click",
+               F.unix_micros(F.col("ts").cast("timestamp"))),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+            "last_click_us",
+        )
+    )
+
+
+def percentile_exact_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (approx variants are
+    engine-specific, so the oracle-checked form is exact)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+    )
+
+
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): the wide per-user count grid back to long form."""
+    wide = b6_grid_pivot_fixed(spark, sf_dir)
+    return wide.selectExpr(
+        "user_id",
+        "stack(4, 'click', n_click, 'view', n_view, 'error', n_error, "
+        "'signup', n_signup) AS (event_type, n)",
+    ).filter(F.col("n") > 0)
