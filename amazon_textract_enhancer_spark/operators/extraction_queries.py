@@ -187,3 +187,24 @@ def x_kv_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blocks = extract_blocks_long(fixture_transcripts(spark))
     return kv_relational(blocks).orderBy("conv_id", "turn_idx", "key")
+
+
+def x_geometry_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 over real geometry: LINE blocks re-ordered by
+    (page, geometry.top, geometry.left) — must reproduce the synthesis
+    order; plus a containment predicate (top half of the page)."""
+    from pyspark.sql import Window
+
+    blocks = extract_blocks_long(fixture_transcripts(spark))
+    lines = blocks.filter(F.col("block_type") == "LINE")
+    w = Window.partitionBy("conv_id", "turn_idx", "page").orderBy(
+        F.col("geometry.top"), F.col("geometry.left")
+    )
+    return (
+        lines.withColumn("reading_rank", F.row_number().over(w).cast("int"))
+        .withColumn("in_top_half", F.col("geometry.top") < 0.5)
+        .select(
+            "conv_id", "turn_idx", "page", "reading_rank", "in_top_half", "text"
+        )
+        .orderBy("conv_id", "turn_idx", "page", "reading_rank")
+    )

@@ -49,6 +49,8 @@ SPARK_QUERIES = {
     "asof_join_last_click": rel.asof_join_last_click,
     "percentile_exact_values": rel.percentile_exact_values,
     "unpivot_event_counts": rel.unpivot_event_counts,
+    "sketch_approx_distinct": rel.sketch_approx_distinct,  # ✂
+    "map_fns_props": rel.map_fns_props,  # ✂
     # §2.C serving surface
     "c1_point_lookup": serving.c1_point_lookup,
     "c2_range_status_query": serving.c2_range_status_query,
@@ -87,6 +89,7 @@ SPARK_QUERIES = {
     "x_doc_text_relational": xq.x_doc_text_relational,
     "x_tables_relational": xq.x_tables_relational,
     "x_kv_relational": xq.x_kv_relational,
+    "x_geometry_reading_order": xq.x_geometry_reading_order,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"

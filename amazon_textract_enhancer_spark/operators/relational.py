@@ -382,3 +382,35 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'click', n_click, 'view', n_view, 'error', n_error, "
         "'signup', n_signup) AS (event_type, n)",
     ).filter(F.col("n") > 0)
+
+
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """✂ Approx/sketch aggregates (HLL-based approx_count_distinct is an
+    engine-specific sketch — rows-only check; the exact twin is
+    agg_distinct_users)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def map_fns_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """✂ Map functions: JSON → MapType with explicit schema, map_keys /
+    element access (SURVEY.md §2.E map fns — exploded-join path is the
+    primary, this covers the map-typed variant)."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(
+            "event_id",
+            m.alias("props_map"),
+        )
+        .select(
+            "event_id",
+            F.map_keys("props_map").alias("keys"),
+            F.element_at("props_map", "k").alias("k_value"),
+        )
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

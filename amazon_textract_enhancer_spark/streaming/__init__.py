@@ -165,3 +165,76 @@ def stream_windowed_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stateful_conv_progress(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-conversation progress — cumulative turns and chars seen —
+    maintained in group state across micro-batches AND across restarts
+    (state lives in the checkpoint). The streaming analog of the
+    reference's per-document job tracking in DynamoDB.
+
+    Deployment note: the state-store partition count is frozen into the
+    checkpoint at the query's FIRST run — set
+    ``spark.sql.shuffle.partitions`` before the first trigger; it cannot
+    be changed later without discarding state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..schemas import TRANSCRIPT_SCHEMA
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turns_seen", IntegerType()),
+            StructField("chars_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("turns", IntegerType()),
+            StructField("chars", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        turns, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            turns += len(pdf)
+            chars += int(pdf["text"].fillna("").str.len().sum())
+        state.update((turns, chars))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "turns_seen": [turns], "chars_seen": [chars]}
+        )
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    progress = stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        progress.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

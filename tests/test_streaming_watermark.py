@@ -64,3 +64,37 @@ def test_windowed_counts_with_late_data_drop(spark, tmp_path):
     assert got2[("2024-03-01 00:00", "click")] == 2
     # day-2 window now finalized with its single click
     assert got2[("2024-03-02 00:00", "click")] == 1
+
+
+def test_stateful_conv_progress_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: group state accumulates across two
+    availableNow runs of the same query (state in the checkpoint)."""
+    from amazon_textract_enhancer_spark.fixtures import generate_transcripts, rows_to_pandas
+    from amazon_textract_enhancer_spark.schemas import TRANSCRIPT_SCHEMA
+    from amazon_textract_enhancer_spark.streaming import stream_stateful_conv_progress
+
+    input_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows, _ = generate_transcripts(seed=42, n_convs=4)
+    half = len(rows) // 2
+    df1 = spark.createDataFrame(rows_to_pandas(rows[:half]), schema=TRANSCRIPT_SCHEMA)
+    df2 = spark.createDataFrame(rows_to_pandas(rows[half:]), schema=TRANSCRIPT_SCHEMA)
+
+    df1.write.mode("append").parquet(input_dir)
+    stream_stateful_conv_progress(spark, input_dir, out, ckpt)
+    df2.write.mode("append").parquet(input_dir)
+    stream_stateful_conv_progress(spark, input_dir, out, ckpt)
+
+    got = spark.read.parquet(out).toPandas()
+    # last emission per conv carries the cumulative totals
+    final = got.sort_values("turns_seen").groupby("conv_id").last()
+    want = {}
+    for r in rows:
+        c = want.setdefault(r["conv_id"], [0, 0])
+        c[0] += 1
+        c[1] += len(r["text"] or "")
+    for conv, (turns, chars) in want.items():
+        assert final.loc[conv, "turns_seen"] == turns, conv
+        assert final.loc[conv, "chars_seen"] == chars, conv
