@@ -90,10 +90,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{n-1}) — minhash signature via n seeded xxhash64
     minima over the shingle set. No UDF: n aggregate expressions."""
-    sh = _shingles(docs)
+    sh = _shingles(docs) if shingles is None else shingles
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
         for s in range(n_hashes)
@@ -106,9 +107,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     specific). Pipeline: shingle → 16-way minhash signature → 4 bands of
     4 rows → band-bucket equi-join → candidate pairs → exact Jaccard
     verify >= 0.8. At 10^12 scale the band join replaces the O(n^2)
-    pair space with bucket-local pairs."""
+    pair space with bucket-local pairs, and the shingle set is computed
+    ONCE and cached — signature and verify passes share it (three
+    full corpus re-shinglings otherwise)."""
     docs = t(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    sh = _shingles(docs).cache()
+    sig = minhash_signatures(docs, shingles=sh)
     rows_per_band = N_MINHASH // N_BANDS
     bands = []
     for band in range(N_BANDS):
@@ -135,8 +139,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify on the (small) candidate set
-    sh = _shingles(docs).cache()
+    # exact verify on the (small) candidate set — same cached shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.alias("sha")
     shb = sh.alias("shb")
