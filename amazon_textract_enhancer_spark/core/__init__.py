@@ -7,7 +7,8 @@ drift (SURVEY.md §7.3 item 2).
 """
 
 from .sniff import sniff_kind
-from .htmldom import parse_html_nodes, classify_nodes, extract_html_main
+from .htmldom import (parse_html_nodes, classify_nodes, extract_html_main,
+                      extract_html_structures)
 from .layout import parse_layout, synthesize_blocks
 from .blocks import (
     build_block_map,
@@ -27,6 +28,7 @@ __all__ = [
     "parse_html_nodes",
     "classify_nodes",
     "extract_html_main",
+    "extract_html_structures",
     "parse_layout",
     "synthesize_blocks",
     "build_block_map",

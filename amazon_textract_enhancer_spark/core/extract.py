@@ -19,8 +19,9 @@ from .blocks import (
     extract_kv_pairs,
     reconstruct_tables,
 )
-from .htmldom import extract_html_main
-from .layout import parse_layout, synthesize_blocks
+from .csvutil import render_csv
+from .htmldom import extract_html_main, extract_html_structures
+from .layout import _IdGen, _pseudo_confidence, parse_layout, synthesize_blocks
 from .sniff import KIND_HTML, KIND_LAYOUT, KIND_PLAIN, sniff_kind
 
 
@@ -78,11 +79,58 @@ def extract_turn(key: str, text: str | None) -> dict:
             out["counters"] = _counters(skipped=True, skip_reason=f"html:{type(e).__name__}")
             return out
         counters["nodes_parsed"] = len(nodes)
+        # structured spans from markup: <table> grids and <dl> forms —
+        # the same TABLE_SPAN/KV_SPAN shapes the layout path emits
+        raw_tables, raw_forms = extract_html_structures(nodes)
+        newid = _IdGen(key)
+        tables = []
+        for tb in raw_tables:
+            n_rows, n_cols = tb["n_rows"], tb["n_cols"]
+            cells = []
+            grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+            for ri, row in enumerate(tb["rows"], start=1):
+                for ci, (ctext, is_header) in enumerate(row, start=1):
+                    cells.append(
+                        {
+                            "r": ri,
+                            "c": ci,
+                            "rs": 1,
+                            "cs": 1,
+                            "text": ctext,
+                            "is_header": is_header,
+                            "confidence": _pseudo_confidence(ctext),
+                        }
+                    )
+                    grid[ri - 1][ci - 1] = ctext
+            tables.append(
+                {
+                    "table_id": newid(),
+                    "page": 1,
+                    "n_rows": n_rows,
+                    "n_cols": n_cols,
+                    "cells": cells,
+                    "csv": render_csv(grid),
+                }
+            )
+            counters["tables_reconstructed"] += 1
+        forms = []
+        for f in raw_forms:
+            forms.append(
+                {
+                    "key": f["key"],
+                    "value": f["value"],
+                    "key_confidence": _pseudo_confidence(f["key"]),
+                    "value_confidence": _pseudo_confidence(f["value"]),
+                    "page": 1,
+                    "selection": None,
+                }
+            )
+            counters["kv_pairs"] += 1
         return {
             "kind": kind,
             "extracted_text": main,
-            "tables": [],
-            "forms": [],
+            "tables": tables,
+            "forms": forms,
             "counters": counters,
             "blocks": [],
             "nodes": nodes,

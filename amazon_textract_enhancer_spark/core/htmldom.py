@@ -126,18 +126,20 @@ class _NodeCollector(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.nodes: list[dict] = []
-        # stack entries: (node_id, tag, depth, block_id, dropped, in_link)
-        self._stack: list[tuple[int, str, int, int, bool, bool]] = []
+        # stack entries:
+        # (node_id, tag, depth, block_id, dropped, in_link, in_table)
+        self._stack: list[tuple[int, str, int, int, bool, bool, bool]] = []
         self._next_id = 0
 
     # -- helpers -------------------------------------------------------
     def _top(self):
         if self._stack:
             return self._stack[-1]
-        return (-1, "", -1, -1, False, False)
+        return (-1, "", -1, -1, False, False, False)
 
     def _emit(self, tag: str, text: str, parent_id: int, depth: int,
-              block_id: int, dropped: bool, in_link: bool) -> int:
+              block_id: int, dropped: bool, in_link: bool,
+              in_table: bool) -> int:
         nid = self._next_id
         self._next_id += 1
         n_chars = len(text)
@@ -152,6 +154,7 @@ class _NodeCollector(HTMLParser):
                 "n_link_chars": n_chars if in_link else 0,
                 "block_id": block_id,
                 "in_dropped": dropped,
+                "in_table": in_table,
             }
         )
         return nid
@@ -159,20 +162,21 @@ class _NodeCollector(HTMLParser):
     # -- HTMLParser callbacks ------------------------------------------
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
-        pid, _ptag, pdepth, pblock, pdropped, plink = self._top()
+        pid, _ptag, pdepth, pblock, pdropped, plink, ptable = self._top()
         depth = pdepth + 1
         dropped = pdropped or tag in DROP_TAGS
         in_link = plink or tag == "a"
-        nid = self._emit(tag, "", pid, depth, pblock, dropped, in_link)
+        in_table = ptable or tag == "table"
+        nid = self._emit(tag, "", pid, depth, pblock, dropped, in_link, in_table)
         block_id = nid if tag in BLOCK_TAGS else pblock
         if tag not in VOID_TAGS:
-            self._stack.append((nid, tag, depth, block_id, dropped, in_link))
+            self._stack.append((nid, tag, depth, block_id, dropped, in_link, in_table))
 
     def handle_startendtag(self, tag, attrs):
         tag = tag.lower()
-        pid, _ptag, pdepth, pblock, pdropped, plink = self._top()
+        pid, _ptag, pdepth, pblock, pdropped, plink, ptable = self._top()
         self._emit(tag, "", pid, pdepth + 1, pblock, pdropped,
-                   plink or tag == "a")
+                   plink or tag == "a", ptable)
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -186,8 +190,8 @@ class _NodeCollector(HTMLParser):
         text = " ".join(data.split())
         if not text:
             return
-        pid, _ptag, pdepth, pblock, pdropped, plink = self._top()
-        self._emit("#text", text, pid, pdepth + 1, pblock, pdropped, plink)
+        pid, _ptag, pdepth, pblock, pdropped, plink, ptable = self._top()
+        self._emit("#text", text, pid, pdepth + 1, pblock, pdropped, plink, ptable)
 
 
 def parse_html_nodes(text: str) -> list[dict]:
@@ -230,6 +234,7 @@ def classify_nodes(nodes: list[dict]) -> list[dict]:
                 "parts": [n["text"]],
                 "n_link_chars": n["n_link_chars"],
                 "in_dropped": n["in_dropped"],
+                "in_table": n.get("in_table", False),
             }
         else:
             g["parts"].append(n["text"])
@@ -244,6 +249,7 @@ def classify_nodes(nodes: list[dict]) -> list[dict]:
         text_density = n_chars / wrapped
         is_content = (
             not g["in_dropped"]
+            and not g["in_table"]  # table text is emitted structurally
             and n_chars >= MIN_CONTENT_CHARS
             and link_density <= MAX_LINK_DENSITY
         )
@@ -257,6 +263,7 @@ def classify_nodes(nodes: list[dict]) -> list[dict]:
                 "link_density": link_density,
                 "text_density": text_density,
                 "in_dropped": g["in_dropped"],
+                "in_table": g["in_table"],
                 "is_content": is_content,
             }
         )
@@ -269,3 +276,86 @@ def extract_html_main(text: str) -> tuple[str, list[dict], list[dict]]:
     blocks = classify_nodes(nodes)
     main = "\n".join(b["text"] for b in blocks if b["is_content"])
     return main, nodes, blocks
+
+
+def extract_html_structures(nodes: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Recover structured spans from the DOM node table:
+
+    - ``<table>`` → grids: each <tr> is a row, each <td>/<th> a cell
+      (is_header iff <th>); nested tables attach to their OWN nearest
+      table ancestor, not the outer one.
+    - ``<dl>`` → form pairs: each <dt> keys the next <dd> sibling.
+
+    Returns (tables, forms) where tables = [{n_rows, n_cols, rows:
+    [[(text, is_header), ...]]}] and forms = [{key, value}] — the
+    caller (core.extract) shapes them into TABLE_SPAN/KV_SPAN with
+    deterministic ids. Dropped-subtree (nav/footer/...) structures are
+    skipped.
+    """
+    by_id = {n["node_id"]: n for n in nodes}
+    children: dict[int, list[dict]] = {}
+    for n in nodes:
+        children.setdefault(n["parent_id"], []).append(n)
+
+    def cell_text(cell_id: int) -> str:
+        parts = [
+            n["text"] for n in nodes
+            if n["tag"] == "#text" and n["block_id"] == cell_id
+        ]
+        return " ".join(parts)
+
+    def nearest_table(nid: int) -> int | None:
+        cur = by_id.get(nid)
+        while cur is not None:
+            cur = by_id.get(cur["parent_id"])
+            if cur is not None and cur["tag"] == "table":
+                return cur["node_id"]
+        return None
+
+    def rows_of_table(table_id: int) -> list[list[dict]]:
+        """tr elements whose nearest table ancestor is this table, in
+        document order (tr may sit under thead/tbody)."""
+        rows = []
+        for n in nodes:
+            if n["tag"] == "tr" and nearest_table(n["node_id"]) == table_id:
+                rows.append(n)
+        return rows
+
+    tables: list[dict] = []
+    forms: list[dict] = []
+    for n in nodes:
+        if n["in_dropped"]:
+            continue
+        if n["tag"] == "table":
+            trs = rows_of_table(n["node_id"])
+            grid: list[list[tuple[str, bool]]] = []
+            for tr in trs:
+                cells = [
+                    c for c in children.get(tr["node_id"], [])
+                    if c["tag"] in ("td", "th")
+                ]
+                grid.append(
+                    [(cell_text(c["node_id"]), c["tag"] == "th") for c in cells]
+                )
+            grid = [r for r in grid if r]
+            if grid:
+                tables.append(
+                    {
+                        "n_rows": len(grid),
+                        "n_cols": max(len(r) for r in grid),
+                        "rows": grid,
+                    }
+                )
+        elif n["tag"] == "dl":
+            items = [
+                c for c in children.get(n["node_id"], [])
+                if c["tag"] in ("dt", "dd")
+            ]
+            key = None
+            for it in items:
+                if it["tag"] == "dt":
+                    key = cell_text(it["node_id"])
+                elif it["tag"] == "dd" and key is not None:
+                    forms.append({"key": key, "value": cell_text(it["node_id"])})
+                    key = None
+    return tables, forms

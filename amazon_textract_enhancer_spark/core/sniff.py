@@ -21,7 +21,8 @@ _LAYOUT_LINE = re.compile(
 )
 _HTML_TAG = re.compile(
     r"<\s*(?:!doctype|html|head|body|div|p|a|span|nav|main|article|header|"
-    r"footer|aside|section|table|ul|ol|li|h[1-6]|script|style|form|br|img)\b",
+    r"footer|aside|section|table|tr|td|th|thead|tbody|dl|dt|dd|ul|ol|li|"
+    r"h[1-6]|script|style|form|br|img|pre|blockquote)\b",
     re.IGNORECASE,
 )
 

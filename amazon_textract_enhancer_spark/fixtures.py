@@ -78,6 +78,8 @@ def _gen_html(rng: random.Random) -> tuple[str, dict]:
         parts.append(noise(rng.randint(1, 7)))
     # main content
     golden_ps: list[str] = []
+    golden_tables: list[dict] = []
+    golden_forms: list[dict] = []
     parts.append("<main><article>")
     for _ in range(rng.randint(1, 10)):
         p = _sentence(rng, 8, 20)
@@ -85,6 +87,30 @@ def _gen_html(rng: random.Random) -> tuple[str, dict]:
             p += ". " + _sentence(rng, 8, 16)
         golden_ps.append(p)
         parts.append(f"<p>{p}</p>")
+    if rng.random() < 0.4:  # structured <table> → TABLE_SPAN
+        r, c = rng.randint(2, 4), rng.randint(2, 3)
+        rows = []
+        parts.append("<table>")
+        for ri in range(r):
+            parts.append("<tr>")
+            row = []
+            for _ci in range(c):
+                cell = _short(rng, 2)
+                row.append(cell)
+                tag = "th" if ri == 0 else "td"
+                parts.append(f"<{tag}>{cell}</{tag}>")
+            rows.append(row)
+            parts.append("</tr>")
+        parts.append("</table>")
+        golden_tables.append({"page": 1, "n_rows": r, "n_cols": c, "rows": rows})
+    if rng.random() < 0.3:  # <dl> definition list → KV_SPAN
+        parts.append("<dl>")
+        for _ in range(rng.randint(1, 3)):
+            k = rng.choice(_KEY_WORDS)
+            v = _short(rng, 3)
+            parts.append(f"<dt>{k}</dt><dd>{v}</dd>")
+            golden_forms.append({"key": k, "value": v, "page": 1})
+        parts.append("</dl>")
     parts.append("</article></main>")
     if rng.random() < 0.6:
         parts.append("<aside>")
@@ -98,8 +124,8 @@ def _gen_html(rng: random.Random) -> tuple[str, dict]:
     golden = {
         "kind": "html",
         "text": "\n".join(golden_ps),
-        "tables": [],
-        "forms": [],
+        "tables": golden_tables,
+        "forms": golden_forms,
     }
     return "".join(parts), golden
 

@@ -111,6 +111,7 @@ def x_nodes_density_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars") + F.count(F.lit(1)) - 1).alias("n_chars"),
         F.sum("n_link_chars").alias("n_link_chars"),
         F.max(F.col("in_dropped").cast("int")).cast("boolean").alias("in_dropped"),
+        F.max(F.col("in_table").cast("int")).cast("boolean").alias("in_table"),
         F.concat_ws(
             " ",
             F.transform(
@@ -121,6 +122,7 @@ def x_nodes_density_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     content = blocks.filter(
         (~F.col("in_dropped"))
+        & (~F.col("in_table"))  # table text is emitted structurally
         & (F.col("n_chars") >= MIN_CONTENT_CHARS)
         & ((F.col("n_link_chars") / F.col("n_chars")) <= MAX_LINK_DENSITY)
     )

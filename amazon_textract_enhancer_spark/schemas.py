@@ -108,6 +108,7 @@ NODE_SCHEMA = StructType(
         StructField("n_link_chars", IntegerType(), True),
         StructField("block_id", IntegerType(), True),
         StructField("in_dropped", BooleanType(), True),
+        StructField("in_table", BooleanType(), True),
     ]
 )
 

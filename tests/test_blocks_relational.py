@@ -49,7 +49,8 @@ def test_table_csv_matches_fused(blocks_df, fused_spans):
             r["n_rows"], r["n_cols"], r["page"], r["csv"]
         )
     n = 0
-    for row in fused_spans.select("conv_id", "turn_idx", "tables").collect():
+    layout_only = fused_spans.filter(F.col("kind") == "layout")
+    for row in layout_only.select("conv_id", "turn_idx", "tables").collect():
         for tb in row["tables"]:
             key = (row["conv_id"], row["turn_idx"], tb["table_id"])
             assert key in rel
@@ -65,7 +66,8 @@ def test_kv_pairs_match_fused(blocks_df, fused_spans):
             (r["key"], r["value"], r["page"], r["selection"])
         )
     n = 0
-    for row in fused_spans.select("conv_id", "turn_idx", "forms").collect():
+    layout_only = fused_spans.filter(F.col("kind") == "layout")
+    for row in layout_only.select("conv_id", "turn_idx", "forms").collect():
         want = [(f["key"], f["value"], f["page"], f["selection"]) for f in row["forms"]]
         got = rel.get((row["conv_id"], row["turn_idx"]), [])
         assert sorted(got) == sorted(want), (row["conv_id"], row["turn_idx"])

@@ -87,7 +87,11 @@ def test_blocks_long_table(spark, transcripts_df, golden_spans):
     blocks = extract_blocks_long(transcripts_df).cache()
     try:
         n_tables_long = blocks.filter("block_type = 'TABLE'").count()
-        want_tables = sum(len(g["tables"]) for g in golden_spans)
+        # the Block forest is synthesized for layout payloads only; html
+        # tables are recovered from the DOM and live in spans.tables
+        want_tables = sum(
+            len(g["tables"]) for g in golden_spans if g["kind"] == "layout"
+        )
         assert n_tables_long == want_tables
         # every emitted block type is a valid Textract enum value
         from amazon_textract_enhancer_spark.schemas import BLOCK_TYPES
