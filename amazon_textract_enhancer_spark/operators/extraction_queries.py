@@ -210,3 +210,20 @@ def x_geometry_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("conv_id", "turn_idx", "page", "reading_rank")
     )
+
+
+def x_role_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shape analytics over the full input schema: turns and
+    extraction yield per (role, tool) — the conversational-agent twin
+    of the reference's per-document job metadata queries."""
+    tdf = fixture_transcripts(spark)
+    spans = extract_spans(tdf)
+    joined = spans.join(
+        tdf.select("conv_id", "turn_idx", "tool"), on=["conv_id", "turn_idx"]
+    )
+    return joined.groupBy("role", "tool").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("extracted_text")).cast("long").alias("chars_extracted"),
+        F.sum(F.size("tables")).cast("long").alias("n_tables"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

@@ -90,6 +90,7 @@ SPARK_QUERIES = {
     "x_tables_relational": xq.x_tables_relational,
     "x_kv_relational": xq.x_kv_relational,
     "x_geometry_reading_order": xq.x_geometry_reading_order,
+    "x_role_tool_stats": xq.x_role_tool_stats,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
