@@ -114,3 +114,51 @@ def c4_fetch_form_value(spans: DataFrame, conv_id: str, key: str) -> DataFrame:
         F.col("kv.value").alias("value"),
         F.col("kv.selection").alias("selection"),
     )
+
+
+def register_serving_views(spark: SparkSession, spans: DataFrame) -> None:
+    """SURVEY.md §3.3 — the SQL-text serving surface: temp views over
+    extracted_spans and its derived tokens table so operators can be
+    answered as plain ``spark.sql`` (same Catalyst plans as the
+    DataFrame forms; use whichever reads clearer)."""
+    spans.createOrReplaceTempView("extracted_spans")
+    tokenize(spans, "extracted_text", ["conv_id", "turn_idx"]).groupBy(
+        "term", "conv_id", "turn_idx"
+    ).agg(F.count(F.lit(1)).cast("int").alias("tf")).createOrReplaceTempView("tokens")
+
+
+SERVING_SQL = {
+    # C1 point lookup (DynamoDB GetItem analog)
+    "point_lookup": """
+        SELECT conv_id, turn_idx, kind, extracted_text
+        FROM extracted_spans WHERE conv_id = '{conv_id}'
+        ORDER BY turn_idx
+    """,
+    # C3 table fetch as SQL
+    "table_fetch": """
+        SELECT conv_id, turn_idx, t.n_rows, t.n_cols, t.csv
+        FROM extracted_spans
+        LATERAL VIEW explode(tables) AS t
+        WHERE conv_id = '{conv_id}' AND turn_idx = {turn_idx}
+    """,
+    # C4 form fetch, case-insensitive
+    "form_fetch": """
+        SELECT conv_id, turn_idx, f.key, f.value, f.selection
+        FROM extracted_spans
+        LATERAL VIEW explode(forms) AS f
+        WHERE conv_id = '{conv_id}' AND lower(trim(f.key)) = lower(trim('{key}'))
+    """,
+    # C5-ii ranked search over the tokens inverted index
+    "search_rank": """
+        SELECT conv_id, turn_idx, CAST(sum(tf) AS BIGINT) AS score
+        FROM tokens WHERE term IN ({terms})
+        GROUP BY conv_id, turn_idx
+        ORDER BY score DESC, conv_id, turn_idx LIMIT {k}
+    """,
+    # C2 status/range over counters
+    "skipped_turns": """
+        SELECT conv_id, turn_idx, counters.skip_reason AS skip_reason
+        FROM extracted_spans WHERE counters.skipped
+        ORDER BY conv_id, turn_idx
+    """,
+}
