@@ -74,6 +74,7 @@ SPARK_QUERIES = {
     "text_quality_score": textstats.text_quality_score,
     "text_token_count_stats": textstats.text_token_count_stats,
     "text_fingerprint": textstats.text_fingerprint,
+    "text_bpe_token_estimate": textstats.text_bpe_token_estimate,
     # multimodal plumbing (stubbed decode, real Spark path)
     "mm_decode_meta": multimodal.mm_decode_meta,
     "mm_frame_sample": multimodal.mm_frame_sample,
@@ -399,6 +400,17 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n,
                round(sum(o_totalprice), 0) AS sum_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "text_bpe_token_estimate": r"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS nc,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS ce
+            FROM documents
+        )
+        SELECT doc_id, CAST(nc AS INT) AS n_chunks, CAST(ce AS INT) AS n_char_est,
+               CAST(greatest(nc, ce) AS INT) AS n_bpe_est
+        FROM s
     """,
     "sessionize_events": """
         WITH g AS (

@@ -81,3 +81,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5(norm)).alias("n_unique"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word-run / punctuation chunks via regex
+    (the cheap subword-count estimator every training-data budget uses:
+    chunks + ceil(chars/4) blended). Pure regexp_extract_all — JVM-side,
+    identical RE2/Java semantics for this pattern."""
+    docs = t(spark, sf_dir, "documents")
+    chunks = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0))
+    )
+    char_est = F.ceil(F.length("text") / 4)
+    return docs.select(
+        "doc_id",
+        chunks.cast("int").alias("n_chunks"),
+        char_est.cast("int").alias("n_char_est"),
+        F.greatest(chunks, char_est).cast("int").alias("n_bpe_est"),
+    )
