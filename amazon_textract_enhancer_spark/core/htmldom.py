@@ -292,6 +292,10 @@ def extract_html_structures(nodes: list[dict]) -> tuple[list[dict], list[dict]]:
     deterministic ids. Dropped-subtree (nav/footer/...) structures are
     skipped.
     """
+    # short-circuit: most turns carry no structured markup at all
+    if not any(n["tag"] == "table" or n["tag"] == "dl" for n in nodes):
+        return [], []
+
     by_id = {n["node_id"]: n for n in nodes}
     children: dict[int, list[dict]] = {}
     for n in nodes:
