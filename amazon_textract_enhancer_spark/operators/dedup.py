@@ -199,3 +199,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n") > 1)
     )
+
+
+def turn_dedup_within_conv(spans: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Within-conversation near-duplicate turn flagging (grouped-map
+    applyInPandas — SURVEY.md §2.E UDF surface): consecutive turns with
+    difflib ratio >= threshold are marked duplicates of their
+    predecessor. Sequential per-group logic that SQL can't express
+    cleanly; groups are conversations, so the shuffle key is conv_id
+    and whale skew is bounded by per-turn text length, not turn count
+    (the comparison window is 1).
+
+    Output: (conv_id, turn_idx, dup_of_prev boolean, sim double).
+    """
+    import difflib
+
+    import pandas as pd
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        texts = pdf["extracted_text"].fillna("").tolist()
+        sims, dups = [], []
+        prev = None
+        for t in texts:
+            if prev is None or not prev or not t:
+                sims.append(0.0)
+                dups.append(False)
+            else:
+                s = difflib.SequenceMatcher(None, prev, t).ratio()
+                sims.append(round(s, 4))
+                dups.append(s >= threshold)
+            prev = t
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "dup_of_prev": dups,
+                "sim": sims,
+            }
+        )
+
+    return spans.select("conv_id", "turn_idx", "extracted_text").groupBy(
+        "conv_id"
+    ).applyInPandas(per_conv, "conv_id string, turn_idx int, dup_of_prev boolean, sim double")

@@ -227,3 +227,17 @@ def x_role_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("tables")).cast("long").alias("n_tables"),
         F.countDistinct("conv_id").alias("n_convs"),
     )
+
+
+def x_turn_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation consecutive near-dup turns (grouped-map
+    applyInPandas; per-group sequential logic)."""
+    from .dedup import turn_dedup_within_conv
+
+    spans = extract_spans(fixture_transcripts(spark))
+    flagged = turn_dedup_within_conv(spans)
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("dup_of_prev"), 1).otherwise(0)).cast("long").alias("n_dup_turns"),
+        F.round(F.max("sim"), 4).alias("max_sim"),
+    ).orderBy("conv_id")

@@ -92,6 +92,7 @@ SPARK_QUERIES = {
     "x_kv_relational": xq.x_kv_relational,
     "x_geometry_reading_order": xq.x_geometry_reading_order,
     "x_role_tool_stats": xq.x_role_tool_stats,
+    "x_turn_dedup_within": xq.x_turn_dedup_within,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
