@@ -112,7 +112,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign(dot(v, plane_b)) with deterministic pseudo-planes derived from
     xxhash64(dim, b) — no randomness, no driver-side plane matrix.
     Same-bucket candidate pairs are then exactly verified. Rows-only
-    check (engine-specific hashing)."""
+    check (engine-specific hashing).
+
+    Recall honesty: with 8 planes, P(two vectors share a bucket) =
+    (1 - θ/π)^8 — near 1 for true near-duplicates (cos ≥ 0.95,
+    θ ≤ 18°), but only ~3% at cos 0.45. This operator is the
+    NEAR-DUPLICATE recall structure; mid-similarity search uses the
+    exact block-broadcast path (ann_pairs_threshold) or IVF-style
+    bucket centroids at scale. Multi-probe (flip one bit per probe)
+    is the standard recall amplifier if needed."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

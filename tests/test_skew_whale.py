@@ -20,8 +20,8 @@ from amazon_textract_enhancer_spark.stages import extract_spans
 def whale_df(spark):
     ts0 = dt.datetime(2026, 1, 1)
     rows = []
-    # one whale: 30k plain turns
-    for t in range(30_000):
+    # one whale: 10^5 plain turns (SURVEY.md §7.1 M6 stress spec)
+    for t in range(100_000):
         rows.append(("whale", t, "user", f"turn text number {t} with words", None, ts0))
     # a handful of normal conversations
     for c in range(10):
@@ -60,7 +60,7 @@ def test_whale_salted_rollup_spreads_and_matches(spark, whale_df):
             .distinct()
             .count()
         )
-        assert n_salts >= 12  # 30k/256 = ~117 blocks over 16 salts
+        assert n_salts >= 14  # 100k/256 = ~390 blocks over 16 salts
 
         got = salted_conv_rollup(spans).orderBy("conv_id").collect()
         direct = (
@@ -77,6 +77,6 @@ def test_whale_salted_rollup_spreads_and_matches(spark, whale_df):
         )
         assert got == direct
         whale_row = [r for r in got if r["conv_id"] == "whale"][0]
-        assert whale_row["n_turns"] == 30_000
+        assert whale_row["n_turns"] == 100_000
     finally:
         spans.unpersist()
