@@ -68,6 +68,7 @@ SPARK_QUERIES = {
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "ann_pairs_threshold": similarity.ann_pairs_threshold,
     "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # ✂
+    "ann_ivf_topk": similarity.ann_ivf_topk,  # ✂
     "embed_norm_by_label": similarity.embed_norm_by_label,
     # training-data pipeline: text analysis
     "text_lang_id": textstats.text_lang_id,

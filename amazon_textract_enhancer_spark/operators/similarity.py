@@ -165,3 +165,73 @@ def embed_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(_norm(F.col("v"))), 4).alias("avg_norm"),
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_centroids: int = 16,
+                 nprobe: int = 6, k: int = TOP_K) -> DataFrame:
+    """✂ IVF-style ANN: deterministic coarse quantizer + probed search.
+
+    Index: centroids are the ``n_centroids`` vectors with the smallest
+    xxhash64(vec_id) (deterministic, uniformly spread — no k-means RNG);
+    every vector joins the bucket of its most-similar centroid (one
+    broadcast NumPy argmax pass). Search: rank centroids against the
+    query, scan only the ``nprobe`` nearest buckets exactly, take the
+    global top-k. nprobe = n_centroids degrades to exact brute force —
+    the invariant tests/test_ivf_ann.py checks; smaller nprobe trades
+    recall for scanning ~nprobe/n_centroids of the corpus (at 10^12
+    rows the buckets are Iceberg partitions and probing is partition
+    pruning).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # deterministic centroid choice (hash-ordered vec ids)
+    cent_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(n_centroids)
+        .collect()
+    ]
+    cents = emb.filter(F.col("vec_id").isin(cent_ids)).collect()
+    cents.sort(key=lambda r: r["vec_id"])
+    import numpy as _np
+
+    C = _np.array([r["v"] for r in cents], dtype=_np.float64)
+    C = C / _np.linalg.norm(C, axis=1, keepdims=True)
+    bc_c = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        CM = bc_c.value
+        for rb in batches:
+            ids = rb.column(0)
+            if len(ids) == 0:
+                continue
+            A = np.asarray(rb.column(1).to_pylist(), dtype=np.float64)
+            U = A / np.linalg.norm(A, axis=1, keepdims=True)
+            bucket = np.argmax(U @ CM.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, rb.column(1), pa.array(bucket, pa.int32())],
+                names=["vec_id", "v", "bucket"],
+            )
+
+    indexed = emb.mapInArrow(assign, "vec_id bigint, v array<double>, bucket int")
+
+    # query side: rank centroids, pick probe set (driver-side, tiny)
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    q = _np.asarray(qrow["v"], dtype=_np.float64)
+    q = q / _np.linalg.norm(q)
+    probe = _np.argsort(-(C @ q))[:nprobe].tolist()
+
+    # exact cosine within probed buckets only
+    qv = F.array(*[F.lit(float(x)) for x in qrow["v"]]).cast("array<double>")
+    cos = F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * _norm(qv)), 6)
+    return (
+        indexed.filter(F.col("bucket").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
