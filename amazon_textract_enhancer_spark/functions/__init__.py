@@ -41,3 +41,21 @@ def content_hash(cols: list[Column]) -> Column:
 def norm_text(text: Column) -> Column:
     """Whitespace-collapsed lowercase normalization for fingerprints."""
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def sniff_kind_udf():
+    """Scalar Arrow-vectorized pandas_udf (Series→Series) exposing the
+    D1 payload sniffer as a column function — the lightest UDF shape
+    (the fused stages use mapInArrow; this exists for ad-hoc column use
+    and completes the UDF-surface matrix: scalar / batch-map /
+    grouped-map / grouped-stateful)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..core import sniff_kind
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint inspection cannot evaluate
+    def _sniff(texts):
+        return texts.map(lambda t: sniff_kind(t) if isinstance(t, str) else "plain")
+
+    return pandas_udf(_sniff, "string")

@@ -241,3 +241,14 @@ def x_turn_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dup_of_prev"), 1).otherwise(0)).cast("long").alias("n_dup_turns"),
         F.round(F.max("sim"), 4).alias("max_sim"),
     ).orderBy("conv_id")
+
+
+def x_sniff_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 as a scalar pandas_udf column function: payload-kind census of
+    the transcript table without running full extraction."""
+    from ..functions import sniff_kind_udf
+
+    tdf = fixture_transcripts(spark)
+    return tdf.select(sniff_kind_udf()(F.col("text")).alias("kind")).groupBy(
+        "kind"
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -94,6 +94,7 @@ SPARK_QUERIES = {
     "x_geometry_reading_order": xq.x_geometry_reading_order,
     "x_role_tool_stats": xq.x_role_tool_stats,
     "x_turn_dedup_within": xq.x_turn_dedup_within,
+    "x_sniff_kind_census": xq.x_sniff_kind_census,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
