@@ -21,7 +21,7 @@ from .blocks import (
     confidence_stats,
 )
 from .csvutil import render_csv, parse_csv
-from .extract import extract_turn, EMPTY_RESULT
+from .extract import extract_turn, _empty_result
 
 __all__ = [
     "sniff_kind",
@@ -42,5 +42,5 @@ __all__ = [
     "render_csv",
     "parse_csv",
     "extract_turn",
-    "EMPTY_RESULT",
+    "_empty_result",
 ]

@@ -39,15 +39,19 @@ def _counters(**kw) -> dict:
     return base
 
 
-EMPTY_RESULT = {
-    "kind": KIND_PLAIN,
-    "extracted_text": "",
-    "tables": [],
-    "forms": [],
-    "counters": _counters(skipped=True, skip_reason="empty"),
-    "blocks": [],
-    "nodes": [],
-}
+def _empty_result(kind: str = KIND_PLAIN, skip_reason: str = "empty") -> dict:
+    """Fresh skipped-turn result per call — the list/dict members must
+    NOT be shared across rows (ADVICE r1: a single module-level dict
+    made every skipped turn alias the same mutable lists)."""
+    return {
+        "kind": kind,
+        "extracted_text": "",
+        "tables": [],
+        "forms": [],
+        "counters": _counters(skipped=True, skip_reason=skip_reason),
+        "blocks": [],
+        "nodes": [],
+    }
 
 
 def extract_turn(key: str, text: str | None) -> dict:
@@ -63,9 +67,7 @@ def extract_turn(key: str, text: str | None) -> dict:
       nodes           DOM node table (html kind; else [])
     """
     if text is None or text.strip() == "":
-        out = dict(EMPTY_RESULT)
-        out["counters"] = _counters(skipped=True, skip_reason="empty")
-        return out
+        return _empty_result()
 
     kind = sniff_kind(text)
     counters = _counters()
@@ -74,10 +76,7 @@ def extract_turn(key: str, text: str | None) -> dict:
         try:
             main, nodes, _scored = extract_html_main(text)
         except Exception as e:  # pragma: no cover — html.parser is lax
-            out = dict(EMPTY_RESULT)
-            out["kind"] = kind
-            out["counters"] = _counters(skipped=True, skip_reason=f"html:{type(e).__name__}")
-            return out
+            return _empty_result(kind=kind, skip_reason=f"html:{type(e).__name__}")
         counters["nodes_parsed"] = len(nodes)
         # structured spans from markup: <table> grids and <dl> forms —
         # the same TABLE_SPAN/KV_SPAN shapes the layout path emits
@@ -139,10 +138,7 @@ def extract_turn(key: str, text: str | None) -> dict:
     if kind == KIND_LAYOUT:
         entries, malformed = parse_layout(text)
         if not entries:
-            out = dict(EMPTY_RESULT)
-            out["kind"] = kind
-            out["counters"] = _counters(skipped=True, skip_reason="layout:no-entries")
-            return out
+            return _empty_result(kind=kind, skip_reason="layout:no-entries")
         blocks = synthesize_blocks(key, entries)
         bmap = build_block_map(blocks)
         extracted = document_text(blocks, bmap, counters)

@@ -127,11 +127,17 @@ def register_serving_views(spark: SparkSession, spans: DataFrame) -> None:
     ).agg(F.count(F.lit(1)).cast("int").alias("tf")).createOrReplaceTempView("tokens")
 
 
+# Parameterized SQL templates (named parameter markers, Spark 3.4+
+# ``spark.sql(query, args={...})``). Values are bound as literals by the
+# engine, NEVER spliced into the SQL text — form keys and search terms
+# originate from extracted (hostile) document payloads, so string
+# formatting here was an injection vector (ADVICE r1). Run via
+# ``run_serving_query``.
 SERVING_SQL = {
     # C1 point lookup (DynamoDB GetItem analog)
     "point_lookup": """
         SELECT conv_id, turn_idx, kind, extracted_text
-        FROM extracted_spans WHERE conv_id = '{conv_id}'
+        FROM extracted_spans WHERE conv_id = :conv_id
         ORDER BY turn_idx
     """,
     # C3 table fetch as SQL
@@ -139,21 +145,23 @@ SERVING_SQL = {
         SELECT conv_id, turn_idx, t.n_rows, t.n_cols, t.csv
         FROM extracted_spans
         LATERAL VIEW explode(tables) AS t
-        WHERE conv_id = '{conv_id}' AND turn_idx = {turn_idx}
+        WHERE conv_id = :conv_id AND turn_idx = :turn_idx
     """,
     # C4 form fetch, case-insensitive
     "form_fetch": """
         SELECT conv_id, turn_idx, f.key, f.value, f.selection
         FROM extracted_spans
         LATERAL VIEW explode(forms) AS f
-        WHERE conv_id = '{conv_id}' AND lower(trim(f.key)) = lower(trim('{key}'))
+        WHERE conv_id = :conv_id AND lower(trim(f.key)) = lower(trim(:key))
     """,
-    # C5-ii ranked search over the tokens inverted index
+    # C5-ii ranked search over the tokens inverted index; :terms binds an
+    # array literal (array_contains instead of IN so the term list is one
+    # bound parameter, not spliced SQL)
     "search_rank": """
         SELECT conv_id, turn_idx, CAST(sum(tf) AS BIGINT) AS score
-        FROM tokens WHERE term IN ({terms})
+        FROM tokens WHERE array_contains(:terms, term)
         GROUP BY conv_id, turn_idx
-        ORDER BY score DESC, conv_id, turn_idx LIMIT {k}
+        ORDER BY score DESC, conv_id, turn_idx LIMIT :k
     """,
     # C2 status/range over counters
     "skipped_turns": """
@@ -162,3 +170,8 @@ SERVING_SQL = {
         ORDER BY conv_id, turn_idx
     """,
 }
+
+
+def run_serving_query(spark: SparkSession, name: str, **params) -> DataFrame:
+    """Execute a SERVING_SQL template with engine-bound parameters."""
+    return spark.sql(SERVING_SQL[name], args=params or None)

@@ -39,7 +39,9 @@ def run_extraction_pipeline(
     """Run (or resume) the full pipeline; returns manifests per stage."""
     io = TableIO(warehouse)
     if input_snapshot is None:
-        input_snapshot = snapshot_id_of(transcripts, ["conv_id", "turn_idx"])
+        # text included: a text-only edit must produce a new snapshot id,
+        # else resume would silently serve stale spans (ADVICE round 1)
+        input_snapshot = snapshot_id_of(transcripts, ["conv_id", "turn_idx", "text"])
 
     manifests: dict[str, dict] = {}
 

@@ -3,18 +3,25 @@ and resume from the last committed stage (SURVEY.md §2.F; the Spark
 analog of the reference's idempotent job tokens + SNS-driven restart:
 vendor/textract-service-2.json:1553-1558 ClientRequestToken semantics).
 
-Commit protocol (atomic on POSIX rename):
+Commit protocol (atomic on POSIX rename; crash-safe at every step):
 
 1. write parquet to ``<table>/.tmp-<nonce>/``
 2. fsync-equivalent barrier (Spark job completion)
-3. ``os.replace`` the tmp dir to ``<table>/data/``
-4. write ``<table>/_manifest.json`` with (stage, input_snapshot,
-   config_hash, rows, per-partition lineage counters)
+3. **invalidate**: delete ``<table>/_manifest.json`` — from here until
+   step 6 the stage is uncommitted, so a crash forces a clean re-run
+   instead of a stale manifest pointing at missing/half-swapped data
+4. move the previous ``data/`` aside to ``<table>/.old-<nonce>/``
+   (rename, not delete — the swap window never has zero copies on disk)
+5. ``os.replace`` the tmp dir to ``<table>/data/``
+6. write ``<table>/_manifest.json`` (tmp file + ``os.replace``) with
+   (stage, input_snapshot, config_hash, rows, per-partition lineage)
+7. delete the ``.old-<nonce>`` dir
 
 A re-run with the same (stage, input_snapshot, config_hash) finds the
 manifest and SKIPS the stage — that is the resume path. A killed job
-left only a ``.tmp-*`` dir, which the next run garbage-collects; the
-manifest is written last, so a manifest always describes complete data.
+leaves only ``.tmp-*``/``.old-*`` dirs (garbage-collected by the next
+run) and possibly no manifest (→ re-run); a manifest, when present,
+always describes complete data.
 
 On a real cluster the same seam maps to Iceberg snapshot commits
 (``iceberg_session_conf``); snapshot ids replace input_snapshot hashes.
@@ -102,15 +109,16 @@ class TableIO:
 
         tpath = self.table_path(name)
         os.makedirs(tpath, exist_ok=True)
-        # GC half-written tmp dirs from killed runs
+        # GC half-written tmp/old dirs from killed runs
         for d in os.listdir(tpath):
-            if d.startswith(".tmp-"):
+            if d.startswith(".tmp-") or d.startswith(".old-"):
                 shutil.rmtree(os.path.join(tpath, d), ignore_errors=True)
 
         if bucket_col is not None:
             df = df.repartition(n_buckets, bucket_col)
 
-        tmp = os.path.join(tpath, f".tmp-{uuid.uuid4().hex[:12]}")
+        nonce = uuid.uuid4().hex[:12]
+        tmp = os.path.join(tpath, f".tmp-{nonce}")
         df.write.mode("overwrite").parquet(tmp)
 
         # F4: per-partition lineage counters, computed from the written
@@ -130,9 +138,16 @@ class TableIO:
         )
         total_rows = sum(r["rows"] for r in lineage)
 
+        # invalidate BEFORE touching data/: a crash anywhere in the swap
+        # window leaves no manifest, so resume re-runs the stage instead
+        # of trusting a manifest whose data was deleted mid-swap
+        if os.path.exists(self.manifest_path(name)):
+            os.remove(self.manifest_path(name))
         data = self.data_path(name)
+        old = None
         if os.path.exists(data):
-            shutil.rmtree(data)
+            old = os.path.join(tpath, f".old-{nonce}")
+            os.replace(data, old)
         os.replace(tmp, data)
 
         manifest = {
@@ -150,6 +165,8 @@ class TableIO:
         with open(tmp_manifest, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp_manifest, self.manifest_path(name))
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
         return manifest
 
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
@@ -158,8 +175,12 @@ class TableIO:
 
 def snapshot_id_of(df: DataFrame, key_cols: list[str]) -> str:
     """Content-derived snapshot id for a sandbox input table (stands in
-    for the Iceberg snapshot id): order-insensitive xxhash64-xor over
-    the key columns. Cheap (no text deserialization) and deterministic."""
+    for the Iceberg snapshot id): order-insensitive xxhash64 sum over
+    the given columns. Callers MUST include the content column(s), not
+    just row keys — a snapshot id that hashes only (conv_id, turn_idx)
+    would collide across text-only edits and make resume serve stale
+    spans (the hash is one map-side scan; xxhash64 over text is cheap
+    relative to extraction)."""
     # pmod keeps the ANSI-mode sum far from long overflow at any row count
     h = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(1_000_000_007))
     row = df.select(

@@ -81,7 +81,7 @@ def incremental_extract(
 
     from ..sources.tableio import snapshot_id_of
 
-    snap = snapshot_id_of(new_transcripts, ["conv_id", "turn_idx"])
+    snap = snapshot_id_of(new_transcripts, ["conv_id", "turn_idx", "text"])
     n_changed = changed.count()
     n_total = fp_new.count()
     manifest = io.commit_stage(

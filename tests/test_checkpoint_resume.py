@@ -56,7 +56,7 @@ def test_kill_between_stages_resumes_byte_identical(spark, transcripts_df, wareh
     from amazon_textract_enhancer_spark.sources.tableio import snapshot_id_of
 
     io = TableIO(warehouse)
-    snap = snapshot_id_of(transcripts_df, ["conv_id", "turn_idx"])
+    snap = snapshot_id_of(transcripts_df, ["conv_id", "turn_idx", "text"])
     io.commit_stage(
         extract_spans(transcripts_df), "extracted_spans", snap, CONFIG_HASH,
         bucket_col="conv_id", n_buckets=16,
@@ -170,6 +170,95 @@ def test_incremental_snapshot_diff(spark, warehouse):
     b = _hash_table(want, ["conv_id", "turn_idx", "extracted_text"])
     assert a == b
     assert got.filter(F.col("conv_id") == "conv00000001").count() == 0
+
+
+def test_text_only_edit_invalidates_snapshot(spark, transcripts_df, warehouse):
+    """ADVICE r1 (high): a rerun after a text-only edit (same keys, same
+    row count) must re-extract, not resume with stale spans — the
+    snapshot id hashes text, not just (conv_id, turn_idx)."""
+    run_extraction_pipeline(spark, transcripts_df, warehouse)
+    io = TableIO(warehouse)
+
+    marker = "TEXT-ONLY-EDIT-SENTINEL"
+    edited = transcripts_df.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == "conv00000000") & (F.col("turn_idx") == 0),
+            F.lit(marker),
+        ).otherwise(F.col("text")),
+    )
+    assert edited.count() == transcripts_df.count()  # keys/counts identical
+    run_extraction_pipeline(spark, edited, warehouse)
+    got = (
+        io.read_table(spark, "extracted_spans")
+        .filter((F.col("conv_id") == "conv00000000") & (F.col("turn_idx") == 0))
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["extracted_text"] == marker
+
+
+def test_incremental_text_only_edit_reextracts(spark, warehouse):
+    """Same invariant on the incremental path: one changed text ⇒
+    changed_convs == 1 AND the committed table serves the new text."""
+    from amazon_textract_enhancer_spark.streaming import incremental_extract
+
+    rows_v1, _ = generate_transcripts(seed=42, n_convs=8)
+    df_v1 = spark.createDataFrame(rows_to_pandas(rows_v1), schema=TRANSCRIPT_SCHEMA)
+    incremental_extract(spark, df_v1, warehouse)
+
+    rows_v2 = [dict(r) for r in rows_v1]
+    target = None
+    for r in rows_v2:
+        if r["conv_id"] == "conv00000002" and r["turn_idx"] == 0:
+            r["text"] = "edited plain text only"
+            target = r
+    assert target is not None
+    df_v2 = spark.createDataFrame(rows_to_pandas(rows_v2), schema=TRANSCRIPT_SCHEMA)
+    r2 = incremental_extract(spark, df_v2, warehouse)
+    assert r2["changed_convs"] == 1 and r2["reused_convs"] == 7
+
+    io = TableIO(warehouse)
+    got = (
+        io.read_table(spark, "extracted_spans")
+        .filter((F.col("conv_id") == "conv00000002") & (F.col("turn_idx") == 0))
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["extracted_text"] == "edited plain text only"
+
+
+def test_crash_mid_commit_leaves_no_stale_manifest(spark, transcripts_df, warehouse, monkeypatch):
+    """ADVICE r1 (medium): a crash inside the data swap must not leave
+    the OLD manifest describing deleted/replaced data. Inject a crash
+    after the new data lands but before the manifest write; the table
+    must read as uncommitted, and a clean re-run must recover."""
+    io = TableIO(warehouse)
+    spans = extract_spans(transcripts_df)
+    io.commit_stage(spans, "extracted_spans", "snapA", "v1")
+    assert io.is_committed("extracted_spans", "snapA", "v1")
+
+    import json as _json
+
+    real_dump = _json.dump
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before manifest write")
+
+    monkeypatch.setattr("amazon_textract_enhancer_spark.sources.tableio.json.dump", boom)
+    with pytest.raises(RuntimeError):
+        io.commit_stage(spans, "extracted_spans", "snapB", "v1")
+    # the old manifest is GONE (invalidate-first), not stale
+    assert io.read_manifest("extracted_spans") is None
+    assert not io.is_committed("extracted_spans", "snapA", "v1")
+
+    monkeypatch.setattr("amazon_textract_enhancer_spark.sources.tableio.json.dump", real_dump)
+    m = io.commit_stage(spans, "extracted_spans", "snapB", "v1")
+    assert m["rows"] == transcripts_df.count()
+    assert io.read_table(spark, "extracted_spans").count() == m["rows"]
+    leftovers = [
+        d for d in os.listdir(io.table_path("extracted_spans"))
+        if d.startswith(".tmp-") or d.startswith(".old-")
+    ]
+    assert leftovers == []
 
 
 def test_streaming_available_now(spark, tmp_path):

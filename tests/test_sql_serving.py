@@ -1,6 +1,7 @@
 """SURVEY.md §3.3 — the SQL-text serving path: spark.sql over the
 extracted_spans / tokens temp views answers the C1–C5 surface, matching
-the DataFrame-API forms."""
+the DataFrame-API forms. Parameters are engine-bound (never spliced), so
+hostile values extracted from documents cannot inject SQL."""
 
 from __future__ import annotations
 
@@ -11,6 +12,7 @@ from amazon_textract_enhancer_spark.operators.serving import (
     SERVING_SQL,
     c4_fetch_form_value,
     register_serving_views,
+    run_serving_query,
 )
 from amazon_textract_enhancer_spark.stages import extract_spans
 
@@ -23,7 +25,7 @@ def served(spark, transcripts_df):
 
 
 def test_sql_point_lookup(spark, served):
-    got = spark.sql(SERVING_SQL["point_lookup"].format(conv_id="conv00000003")).collect()
+    got = run_serving_query(spark, "point_lookup", conv_id="conv00000003").collect()
     want = served.filter(F.col("conv_id") == "conv00000003").count()
     assert len(got) == want > 0
     assert [r["turn_idx"] for r in got] == sorted(r["turn_idx"] for r in got)
@@ -31,16 +33,14 @@ def test_sql_point_lookup(spark, served):
 
 def test_sql_table_and_form_fetch(spark, served):
     row = served.filter(F.size("tables") > 0).select("conv_id", "turn_idx").first()
-    got = spark.sql(
-        SERVING_SQL["table_fetch"].format(conv_id=row["conv_id"], turn_idx=row["turn_idx"])
+    got = run_serving_query(
+        spark, "table_fetch", conv_id=row["conv_id"], turn_idx=row["turn_idx"]
     ).collect()
     assert len(got) >= 1 and got[0]["csv"]
 
     kv = served.select("conv_id", F.explode("forms").alias("kv")).first()
-    got_kv = spark.sql(
-        SERVING_SQL["form_fetch"].format(
-            conv_id=kv["conv_id"], key=" " + kv["kv"]["key"].upper() + " "
-        )
+    got_kv = run_serving_query(
+        spark, "form_fetch", conv_id=kv["conv_id"], key=" " + kv["kv"]["key"].upper() + " "
     ).collect()
     df_kv = c4_fetch_form_value(served, kv["conv_id"], kv["kv"]["key"]).collect()
     assert {(r["key"], r["value"]) for r in got_kv} == {
@@ -49,8 +49,8 @@ def test_sql_table_and_form_fetch(spark, served):
 
 
 def test_sql_search_rank(spark, served):
-    got = spark.sql(
-        SERVING_SQL["search_rank"].format(terms="'alpha','tango','zulu'", k=5)
+    got = run_serving_query(
+        spark, "search_rank", terms=["alpha", "tango", "zulu"], k=5
     ).collect()
     assert 0 < len(got) <= 5
     scores = [r["score"] for r in got]
@@ -58,7 +58,34 @@ def test_sql_search_rank(spark, served):
 
 
 def test_sql_skipped_turns(spark, served):
-    got = spark.sql(SERVING_SQL["skipped_turns"]).collect()
+    got = run_serving_query(spark, "skipped_turns").collect()
     want = served.filter(F.col("counters.skipped")).count()
     assert len(got) == want
     assert all(r["skip_reason"] == "empty" for r in got)
+
+
+def test_sql_injection_hostile_values_are_inert(spark, served):
+    """ADVICE r1 (medium): values containing quotes / SQL fragments are
+    bound as literals. A hostile form key must neither error nor change
+    the query shape — it just matches nothing (or exactly itself)."""
+    hostile_key = "x' OR '1'='1"
+    got = run_serving_query(
+        spark, "form_fetch", conv_id="conv00000003", key=hostile_key
+    ).collect()
+    assert got == []  # no error, no tautology row-spray
+
+    hostile_conv = "nope'; DROP TABLE extracted_spans; --"
+    got2 = run_serving_query(spark, "point_lookup", conv_id=hostile_conv).collect()
+    assert got2 == []
+    # the view is still there afterwards
+    assert spark.sql("SELECT count(*) AS n FROM extracted_spans").collect()[0]["n"] > 0
+
+    hostile_terms = ["alpha", "') OR true; --"]
+    got3 = run_serving_query(spark, "search_rank", terms=hostile_terms, k=3).collect()
+    assert len(got3) <= 3
+
+
+def test_sql_templates_have_no_format_placeholders():
+    """Regression guard: no str.format splice points remain."""
+    for name, sql in SERVING_SQL.items():
+        assert "{" not in sql and "}" not in sql, name
