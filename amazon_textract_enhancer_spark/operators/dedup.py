@@ -9,8 +9,23 @@ Scale notes (100 TB): every step is expression-level (whole-stage
 codegen) — shingling via transform/sequence, hashing via xxhash64.
 The only shuffles are the groupBys/joins on (shingle|band|fingerprint),
 which are the minimal theoretical data movement for these algorithms.
-Candidate verification joins are pre-filtered by LSH buckets so the
-quadratic blowup never materializes.
+
+Skew discipline (VERDICT r1): both pair-generating joins are capped —
+a shingle shared by d documents emits d² pairs, so (a) the raw-shingle
+equi-join drops shingles with document frequency > SHINGLE_DF_CAP and
+(b) the LSH band join drops (band, bucket) groups larger than
+BAND_BUCKET_CAP. The hot lists are by definition tiny, so the caps are
+broadcast anti-joins (no extra shuffle of the big side). Dropped volume
+is never silent: ``shingle_df_dropped`` / ``lsh_hot_buckets`` report it,
+and the caps default far above anything the sf≤0.1 fixtures produce, so
+oracle parity is unaffected while a boilerplate-heavy corpus at scale
+stays sub-quadratic (standard MinHashLSH practice; ultra-common
+shingles carry no near-dup signal — identical docs are exact-dedup's
+job). Caching: no ``.cache()`` here — the registry sweep runs 66
+queries in one session and executor-cache accumulation is a leak; the
+shingle subplan is recomputed (map-side cheap) and at production scale
+would instead be committed once via TableIO (two-phase, like the IVF
+index build).
 """
 
 from __future__ import annotations
@@ -24,6 +39,8 @@ from .serving import TOKEN_PATTERN
 N_MINHASH = 16  # signature length
 N_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
 JACCARD_THRESHOLD = 0.8
+SHINGLE_DF_CAP = 1000  # max docs sharing a shingle before it is dropped
+BAND_BUCKET_CAP = 500  # max docs in one LSH band bucket before it is dropped
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,21 +75,60 @@ def _shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     return sh
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup by 3-gram shingle Jaccard, fully relational (DuckDB
-    oracle twin exists): shingle equi-join → intersection counts →
-    |A∩B| / (|A|+|B|-|A∩B|) >= 0.8. The equi-join on shingle IS the
-    candidate filter — disjoint documents never pair up."""
-    docs = t(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+def _hot_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Shingles whose document frequency exceeds the cap — the skew
+    list. Tiny by construction (partial aggregation map-side), so it is
+    safe to broadcast."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
     )
+
+
+def shingle_df_dropped(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Audit view of the cap: (shingle, df) rows that the pair join
+    drops. Pipelines log this count — truncation is never silent."""
+    return _hot_shingles(_shingles(docs), df_cap)
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, *, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """Near-dup by 3-gram shingle Jaccard, fully relational (DuckDB
+    oracle twin exists): inverted shingle index → within-posting-list
+    pair explosion → intersection counts → |A∩B| / (|A|+|B|-|A∩B|)
+    >= 0.8. Disjoint documents never pair up.
+
+    Plan shape (one shingle scan, VERDICT r1 perf fix): group shingles
+    once into posting lists (shingle → [doc_id…]); document sizes and
+    candidate pairs BOTH derive from that grouped exchange (Catalyst
+    ReusedExchange), instead of four independent re-shinglings + a
+    corpus-wide self-join. Pair emission per shingle is bounded by the
+    skew cap: posting lists longer than df_cap are dropped (a shingle
+    shared by d docs emits d(d-1)/2 pairs — boilerplate shingles at
+    corpus scale are the classic quadratic blowup, and they carry no
+    near-dup signal). Sizes are computed over the FULL posting lists so
+    the Jaccard denominator stays exact for every surviving pair. At
+    10^12-row scale the posting-list array for a mega-hot shingle is
+    itself the skew risk — there the hot list comes from a committed
+    shingle-DF stats table and is anti-joined BEFORE grouping; the
+    in-query form accepts the bounded array (fixture max df << cap)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    grouped = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    kept = grouped.filter(F.size("ids") <= df_cap)
+    pairs = (
+        kept.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = (
@@ -102,20 +158,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH,
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding (✂ rows-only: hash functions are engine-
-    specific). Pipeline: shingle → 16-way minhash signature → 4 bands of
-    4 rows → band-bucket equi-join → candidate pairs → exact Jaccard
-    verify >= 0.8. At 10^12 scale the band join replaces the O(n^2)
-    pair space with bucket-local pairs, and the shingle set is computed
-    ONCE and cached — signature and verify passes share it (three
-    full corpus re-shinglings otherwise)."""
-    docs = t(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    sig = minhash_signatures(docs, shingles=sh)
-    rows_per_band = N_MINHASH // N_BANDS
+def lsh_banded(sig: DataFrame, n_bands: int = N_BANDS,
+               n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, band, bucket) — LSH banding of a minhash signature."""
+    rows_per_band = n_hashes // n_bands
     bands = []
-    for band in range(N_BANDS):
+    for band in range(n_bands):
         cols = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
         bands.append(
             sig.select(
@@ -127,8 +175,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = bands[0]
     for bdf in bands[1:]:
         banded = banded.unionByName(bdf)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    return banded
+
+
+def lsh_hot_buckets(banded: DataFrame, bucket_cap: int = BAND_BUCKET_CAP) -> DataFrame:
+    """(band, bucket, n) groups larger than the cap — the audit view of
+    what the band join drops. Tiny by construction; broadcastable."""
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+    )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, *, bucket_cap: int = BAND_BUCKET_CAP
+) -> DataFrame:
+    """MinHash + LSH banding (✂ rows-only: hash functions are engine-
+    specific). Pipeline: shingle → 16-way minhash signature → 4 bands of
+    4 rows → band-bucket equi-join → candidate pairs → exact Jaccard
+    verify >= 0.8. At 10^12 scale the band join replaces the O(n^2)
+    pair space with bucket-local pairs.
+
+    Candidate recall at 4×4 bands: P(candidate) = 1-(1-j^4)^4 ≈ 0.86 at
+    j=0.8 (rises steeply: 0.97 at j=0.9, 0.999+ at j=0.95) — the
+    documented trade of banding; tests/test_skew_whale.py pins observed
+    recall vs the exact path on the fixture corpus.
+
+    Plan shape (one shingle scan, VERDICT r1 perf fix): a SINGLE
+    groupBy(doc_id) computes the 16 minhash minima AND the sorted
+    shingle-hash set AND the set size per document ("profile"). Banding
+    and both sides of the verify join derive from that one exchange
+    (Catalyst ReusedExchange); the verify intersection is
+    ``size(array_intersect(hs_a, hs_b))`` — an expression over the two
+    candidate documents' own hash sets, not a corpus-wide shingle
+    re-join (at r1 the verify re-joined the full shingle table twice —
+    47% of the whole bench suite). 64-bit shingle hashing makes a
+    false intersection hit ~k²/2⁶⁵ — negligible.
+
+    Skew caps (VERDICT r1): (band, bucket) groups larger than bucket_cap
+    are dropped via a broadcast anti-join BEFORE the self-join — one hot
+    bucket of identical boilerplate otherwise emits |bucket|² candidate
+    rows (identical docs are exact-dedup's job); ``lsh_hot_buckets``
+    audits the drop."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    # same signature definition as minhash_signatures(), plus the hash
+    # set + size in the SAME aggregation — one exchange serves all uses
+    prof = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+          for s in range(N_MINHASH)],
+        F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("hs"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    banded = lsh_banded(prof)
+    kept = banded.join(
+        F.broadcast(lsh_hot_buckets(banded, bucket_cap).select("band", "bucket")),
+        ["band", "bucket"],
+        "left_anti",
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
     candidates = (
         a.join(
             b,
@@ -139,31 +246,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify on the (small) candidate set — same cached shingles
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sha = sh.alias("sha")
-    shb = sh.alias("shb")
-    inter = (
-        candidates.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
-        .join(
-            shb,
-            (F.col("doc_b") == F.col("shb.doc_id"))
-            & (F.col("sha.shingle") == F.col("shb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    pa = prof.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    pb = prof.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b")
+    )
+    i = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        candidates.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 4).alias(
-                "jaccard"
-            ),
+            F.round(i / (F.col("sz_a") + F.col("sz_b") - i), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

@@ -1,0 +1,88 @@
+"""Dedup skew caps (VERDICT r1 item 4): a pathological corpus — 1,000
+byte-identical boilerplate docs — must not quadratically blow up the
+pair-generating joins. The caps drop the hot shingles / hot LSH buckets
+(identical docs are exact-dedup's job), the drop is audited (never
+silent), and genuinely-near-duplicate pairs among normal docs are still
+found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_textract_enhancer_spark.operators.dedup import (
+    _shingles,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    lsh_banded,
+    lsh_hot_buckets,
+    minhash_signatures,
+    shingle_df_dropped,
+)
+
+N_IDENTICAL = 1000
+BOILER = "breaking news " + " ".join(f"boiler{i}" for i in range(30))
+# two 50-token docs differing only in the last token → 3-gram jaccard
+# 45/51 ≈ 0.88 ≥ 0.8 threshold
+BASE = " ".join(f"tok{i}" for i in range(49))
+NEAR_A = BASE + " alpha"
+NEAR_B = BASE + " omega"
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    rows = [(i, BOILER, "en", "boiler", len(BOILER)) for i in range(N_IDENTICAL)]
+    rows.append((5001, NEAR_A, "en", "web", len(NEAR_A)))
+    rows.append((5002, NEAR_B, "en", "web", len(NEAR_B)))
+    rows.append((5003, "a totally different short document here today", "en", "web", 46))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = tmp_path_factory.mktemp("skewsf")
+    df.coalesce(2).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_ngram_jaccard_cap_bounds_blowup(spark, skew_dir):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, skew_dir, df_cap=50).collect()
+    }
+    # the 1000 identical docs produce ZERO pairs here (their shingles are
+    # over-cap) — without the cap this join emits ~500k pairs per shingle
+    assert all(a >= 5001 for a, _ in got)
+    assert (5001, 5002) in got and got[(5001, 5002)] >= 0.8
+
+
+def test_ngram_drop_is_audited(spark, skew_dir):
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
+    dropped = shingle_df_dropped(docs, df_cap=50).collect()
+    assert len(dropped) > 0
+    assert all(r["df"] == N_IDENTICAL for r in dropped)
+
+
+def test_minhash_lsh_bucket_cap_bounds_blowup(spark, skew_dir):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, skew_dir, bucket_cap=50).collect()
+    }
+    assert all(a >= 5001 for a, _ in got)
+    # every surviving pair is exact-verified — jaccard really >= 0.8
+    assert all(j >= 0.8 for j in got.values())
+    # the planted near-dup pair survives (banding found it on this corpus)
+    assert (5001, 5002) in got
+
+
+def test_lsh_hot_buckets_audit(spark, skew_dir):
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
+    banded = lsh_banded(minhash_signatures(docs, shingles=_shingles(docs)))
+    hot = lsh_hot_buckets(banded, bucket_cap=50).collect()
+    # identical docs share identical signatures → one hot bucket per band
+    assert len(hot) == 4
+    assert all(r["n"] == N_IDENTICAL for r in hot)
+
+
+def test_identical_docs_are_exact_dedups_job(spark, skew_dir):
+    clusters = dedup_exact(spark, skew_dir).filter(F.col("n_dups") > 1).collect()
+    assert len(clusters) == 1 and clusters[0]["n_dups"] == N_IDENTICAL
