@@ -95,6 +95,7 @@ class TableIO:
         counter_cols: list[str] | None = None,
         bucket_col: str | None = None,
         n_buckets: int = 8,
+        partition_by: str | None = None,
     ) -> dict:
         """Write ``df`` as stage output ``name``; no-op if the same
         (input_snapshot, config_hash) is already committed (resume).
@@ -103,6 +104,9 @@ class TableIO:
         manifest's lineage block (F4). bucket_col: repartition on this
         column before write — the sandbox emulation of Iceberg
         ``bucket(N, col)`` so downstream per-key work is co-located.
+        partition_by: hive-partition the written parquet on this column
+        (the sandbox analog of an Iceberg identity partition transform);
+        readers filtering on it get static/dynamic partition pruning.
         """
         if self.is_committed(name, input_snapshot, config_hash):
             return self.read_manifest(name)  # resume: skip stage
@@ -119,7 +123,10 @@ class TableIO:
 
         nonce = uuid.uuid4().hex[:12]
         tmp = os.path.join(tpath, f".tmp-{nonce}")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tmp)
 
         # F4: per-partition lineage counters, computed from the written
         # files so the manifest describes exactly what was committed
@@ -160,6 +167,7 @@ class TableIO:
             "committed_at_unix": int(time.time()),
             "bucket_col": bucket_col,
             "n_buckets": n_buckets if bucket_col else None,
+            "partition_by": partition_by,
         }
         tmp_manifest = self.manifest_path(name) + ".tmp"
         with open(tmp_manifest, "w") as f:

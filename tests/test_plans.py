@@ -87,3 +87,30 @@ def test_ann_topk_broadcasts_query_vector(spark):
     plan = executed_plan(df)
     assert "Broadcast" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_pairs_is_distributed_cogroup_no_driver_hop(spark, monkeypatch):
+    """VERDICT r1 item 2: the all-pairs verifier must be a cogrouped
+    block multiply — no driver-side collect/broadcast of the matrix.
+    Plan construction is guarded against DataFrame.collect, and the
+    physical plan must contain the cogroup node and no CollectLimit."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("driver-side collect while building ann_pairs plan")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = _q(spark, "ann_pairs_threshold")
+    monkeypatch.undo()
+    plan = executed_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CollectLimit" not in plan
+
+
+def test_dedup_jaccard_reuses_grouped_exchange(spark):
+    """The posting-list exchange must be built once and reused by both
+    the sizes and pair branches (ReusedExchange), not recomputed."""
+    df = _q(spark, "dedup_ngram_jaccard")
+    df.collect()  # AQE finalizes reuse only on execution
+    plan = executed_plan(df)
+    assert "ReusedExchange" in plan or plan.count("Scan parquet") <= 1, plan
