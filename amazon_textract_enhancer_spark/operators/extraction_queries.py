@@ -5,10 +5,16 @@ per-turn equality is instead proven against the single-node oracle in
 tests/test_spark_pipeline.py.
 
 Input is the deterministic fixture transcript table (seed=42) — the
-sandbox stand-in for the production Iceberg transcripts table.
+sandbox stand-in for the production Iceberg transcripts table. The
+corpus size scales with the driver's sf knob (VERDICT r1: the flagship
+path must exercise the same scale factor as everything else): sf0.01 →
+40 conversations (the round-1 shape), sf0.1 → 400, always seed-42
+deterministic.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,19 +23,31 @@ from ..fixtures import generate_transcripts, rows_to_pandas
 from ..schemas import TRANSCRIPT_SCHEMA
 from ..stages import extract_blocks_long, extract_nodes_long, extract_spans
 
-_N_CONVS = 40
+_CONVS_PER_SF = 4000  # sf0.01 → 40 convs
+_MIN_CONVS = 8
 _WHALE_CAP = 120
 
 
-def fixture_transcripts(spark: SparkSession) -> DataFrame:
-    rows, _ = generate_transcripts(seed=42, n_convs=_N_CONVS, whale_cap=_WHALE_CAP)
+def n_convs_for(sf_dir: str) -> int:
+    """Parse the scale factor out of the sf_dir name (…/sf0.01) and
+    scale the fixture corpus with it; unparseable dirs get the sf0.01
+    default."""
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.01
+    return max(_MIN_CONVS, int(round(sf * _CONVS_PER_SF)))
+
+
+def fixture_transcripts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    rows, _ = generate_transcripts(
+        seed=42, n_convs=n_convs_for(sf_dir), whale_cap=_WHALE_CAP
+    )
     return spark.createDataFrame(rows_to_pandas(rows), schema=TRANSCRIPT_SCHEMA)
 
 
 def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction: per-turn main text + span counts,
     stable (conv_id, turn_idx) order."""
-    spans = extract_spans(fixture_transcripts(spark))
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
     return spans.select(
         "conv_id",
         "turn_idx",
@@ -43,7 +61,7 @@ def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_extract_tables_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/C3 — table-to-CSV artifacts: one row per reconstructed table."""
-    spans = extract_spans(fixture_transcripts(spark))
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
     tb = spans.select(
         "conv_id", "turn_idx", F.posexplode("tables").alias("table_idx", "tbl")
     )
@@ -61,7 +79,7 @@ def x_extract_tables_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_extract_forms_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/C4 — form key-value artifacts (case-insensitive key lookup is
     a filter on this view)."""
-    spans = extract_spans(fixture_transcripts(spark))
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
     kv = spans.select(
         "conv_id", "turn_idx", F.posexplode("forms").alias("kv_idx", "kv")
     )
@@ -78,7 +96,7 @@ def x_extract_forms_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_counters_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — lineage counters rolled up per payload kind."""
-    spans = extract_spans(fixture_transcripts(spark))
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
     return spans.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum("counters.blocks_parsed").cast("long").alias("blocks_parsed"),
@@ -91,7 +109,7 @@ def x_counters_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_blocks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded blocks table census (B2 type filter over the long form)."""
-    blocks = extract_blocks_long(fixture_transcripts(spark))
+    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
     return blocks.groupBy("block_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -103,7 +121,7 @@ def x_nodes_density_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused path is asserted in tests/test_relational_nodes.py."""
     from ..core.htmldom import MAX_LINK_DENSITY, MIN_CONTENT_CHARS
 
-    nodes = extract_nodes_long(fixture_transcripts(spark))
+    nodes = extract_nodes_long(fixture_transcripts(spark, sf_dir))
     text_nodes = nodes.filter(F.col("tag") == "#text")
     blocks = text_nodes.groupBy("conv_id", "turn_idx", "block_id").agg(
         F.min("node_id").alias("ord"),
@@ -143,7 +161,7 @@ def x_nodes_density_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_point_lookup_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 over extracted_spans: one conversation, stable turn order."""
-    spans = extract_spans(fixture_transcripts(spark))
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
     return (
         spans.filter(F.col("conv_id") == "conv00000003")
         .select("conv_id", "turn_idx", "kind", "extracted_text")
@@ -156,7 +174,7 @@ def x_search_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, deterministic top-25."""
     from .serving import tokenize
 
-    spans = extract_spans(fixture_transcripts(spark))
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
     toks = tokenize(spans, "extracted_text", ["conv_id", "turn_idx"])
     return (
         toks.groupBy("term")
@@ -171,7 +189,7 @@ def x_doc_text_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality with the fused path proven in tests/test_blocks_relational."""
     from .blocks_relational import document_text_relational
 
-    blocks = extract_blocks_long(fixture_transcripts(spark))
+    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
     return document_text_relational(blocks).orderBy("conv_id", "turn_idx")
 
 
@@ -179,7 +197,7 @@ def x_tables_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6/B9 as Catalyst dataflow: dense-grid fill + CSV quoting in SQL."""
     from .blocks_relational import tables_relational
 
-    blocks = extract_blocks_long(fixture_transcripts(spark))
+    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
     return tables_relational(blocks).orderBy("conv_id", "turn_idx", "table_id")
 
 
@@ -187,7 +205,7 @@ def x_kv_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10 as Catalyst dataflow: VALUE-edge join + two B4 aggregations."""
     from .blocks_relational import kv_relational
 
-    blocks = extract_blocks_long(fixture_transcripts(spark))
+    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
     return kv_relational(blocks).orderBy("conv_id", "turn_idx", "key")
 
 
@@ -197,7 +215,7 @@ def x_geometry_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; plus a containment predicate (top half of the page)."""
     from pyspark.sql import Window
 
-    blocks = extract_blocks_long(fixture_transcripts(spark))
+    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
     lines = blocks.filter(F.col("block_type") == "LINE")
     w = Window.partitionBy("conv_id", "turn_idx", "page").orderBy(
         F.col("geometry.top"), F.col("geometry.left")
@@ -216,7 +234,7 @@ def x_role_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-shape analytics over the full input schema: turns and
     extraction yield per (role, tool) — the conversational-agent twin
     of the reference's per-document job metadata queries."""
-    tdf = fixture_transcripts(spark)
+    tdf = fixture_transcripts(spark, sf_dir)
     spans = extract_spans(tdf)
     joined = spans.join(
         tdf.select("conv_id", "turn_idx", "tool"), on=["conv_id", "turn_idx"]
@@ -234,7 +252,7 @@ def x_turn_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas; per-group sequential logic)."""
     from .dedup import turn_dedup_within_conv
 
-    spans = extract_spans(fixture_transcripts(spark))
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
     flagged = turn_dedup_within_conv(spans)
     return flagged.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
@@ -243,12 +261,35 @@ def x_turn_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+def c3_table_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """✂ C3 — the reference's headline table-fetch serving endpoint
+    (DynamoDB table-artifact lookup analog, SURVEY.md §2.C): table N of
+    one (conv, turn) as CSV + dims, via try_element_at on the nested
+    column — point predicate, no explode, bucket-pruned at production
+    scale. Target (conv00000000, turn 2, table 1) is deterministic in
+    the seed-42 fixture at every sf."""
+    from .serving import c3_fetch_table
+
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    return c3_fetch_table(spans, "conv00000000", 2, 1)
+
+
+def c4_form_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """✂ C4 — the reference's headline form-fetch serving endpoint:
+    case-insensitive trimmed key lookup over one conversation's
+    extracted KV spans ('Amount' exists in conv00000000 at every sf)."""
+    from .serving import c4_fetch_form_value
+
+    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    return c4_fetch_form_value(spans, "conv00000000", "  aMoUnT ")
+
+
 def x_sniff_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 as a scalar pandas_udf column function: payload-kind census of
     the transcript table without running full extraction."""
     from ..functions import sniff_kind_udf
 
-    tdf = fixture_transcripts(spark)
+    tdf = fixture_transcripts(spark, sf_dir)
     return tdf.select(sniff_kind_udf()(F.col("text")).alias("kind")).groupBy(
         "kind"
     ).agg(F.count(F.lit(1)).alias("n"))

@@ -79,6 +79,9 @@ SPARK_QUERIES = {
     # multimodal plumbing (stubbed decode, real Spark path)
     "mm_decode_meta": multimodal.mm_decode_meta,
     "mm_frame_sample": multimodal.mm_frame_sample,
+    # §2.C headline serving endpoints over the extracted-spans fixture
+    "c3_table_fetch": xq.c3_table_fetch,  # ✂
+    "c4_form_fetch": xq.c4_form_fetch,  # ✂
     # ✂ extraction pipeline (north-rule path; oracle = pytest goldens)
     "x_extract_spans": xq.x_extract_spans,
     "x_extract_tables_csv": xq.x_extract_tables_csv,
