@@ -14,11 +14,15 @@ tests/test_blocks_relational.py — the dataflow decomposition is:
 - B6 grid + B9 CSV     → dense grid via sequence()×sequence() explode,
                           left join placed cells, '' fill, RFC-4180
                           quoting as a when()/replace() expression
+- B7 merged cells      → TABLE→MERGED_CELL→CELL overlay join: anchor
+                          (min struct(r,c)) carries the merged text,
+                          other constituents are swallowed (left_anti)
 - B10 KV pairing       → explode(value_ids) join VALUE side + two B4s
 
-Merged-cell overlay (B7) stays in the fused path only: the synthesized
-D5 forest never emits MERGED_CELL, and the relational overlay join adds
-a pass nobody queries today (hand-authored fixtures cover core B7).
+The D5-synthesized forest never emits MERGED_CELL, but raw Textract
+JSON ingested through sources/blockjson.py CAN (VERDICT r1 item 6) —
+tests/test_blocks_relational.py proves the overlay equal to the fused
+core on a merged-cell response ingested via parse_response_chunks.
 
 Every aggregation here carries its sort key inside the struct — bare
 collect_list order is undefined post-shuffle (SURVEY.md §7.3 item 1).
@@ -104,9 +108,76 @@ def _csv_quote(c: Column) -> Column:
     ).otherwise(c)
 
 
+def _merged_overlay(blocks: DataFrame, cells: DataFrame,
+                    cell_text: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """B7 as Catalyst dataflow. Returns (overlay, swallowed):
+    overlay  = (key, table_id, r, c, mtext) — the anchor (min (r, c)
+               constituent) position of each MERGED_CELL and the text
+               that replaces whatever cell sits there;
+    swallowed = (key, table_id, cell_id) — non-anchor constituents,
+               dropped from the grid via left_anti (fused twin:
+               core/blocks.py reconstruct_tables B7 section).
+    Merged text = the MERGED_CELL's own B4 text when non-empty (WORD
+    children — rare), else the constituents' texts joined in
+    MERGED_CELL→CHILD order, empties skipped."""
+    tm = blocks.filter(
+        (F.col("block_type") == "TABLE") & F.col("merged_ids").isNotNull()
+    ).select(*_KEY, F.col("id").alias("table_id"),
+             F.explode("merged_ids").alias("merged_id"))
+    mconst = blocks.filter(F.col("block_type") == "MERGED_CELL").select(
+        *_KEY, F.col("id").alias("merged_id"),
+        F.posexplode("child_ids").alias("mpos", "cell_id"),
+    )
+    const = (
+        tm.join(mconst, on=_KEY + ["merged_id"], how="inner")
+        .join(cells, on=_KEY + ["cell_id"], how="inner")
+        .join(cell_text.withColumnRenamed("text", "ctext"),
+              on=_KEY + ["cell_id"], how="left")
+        .withColumn("ctext", F.coalesce("ctext", F.lit("")))
+    )
+    magg = const.groupBy(*_KEY, "table_id", "merged_id").agg(
+        F.min(F.struct("r", "c", "cell_id")).alias("anchor"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("mpos", "ctext"))),
+                    lambda x: x["ctext"],
+                ),
+                lambda s: s != "",
+            ),
+        ).alias("fallback_text"),
+        F.collect_list("cell_id").alias("const_ids"),
+    )
+    own = container_texts(blocks, ["MERGED_CELL"]).withColumnRenamed(
+        "id", "merged_id"
+    ).withColumnRenamed("text", "own_text")
+    magg = magg.join(own, on=_KEY + ["merged_id"], how="left").withColumn(
+        "mtext",
+        F.when(
+            F.coalesce(F.col("own_text"), F.lit("")) != "", F.col("own_text")
+        ).otherwise(F.col("fallback_text")),
+    )
+    overlay = magg.select(
+        *_KEY, "table_id",
+        F.col("anchor.r").alias("r"), F.col("anchor.c").alias("c"), "mtext",
+    )
+    swallowed = (
+        magg.select(
+            *_KEY, "table_id", F.col("anchor.cell_id").alias("anchor_id"),
+            F.explode("const_ids").alias("cell_id"),
+        )
+        .filter(F.col("cell_id") != F.col("anchor_id"))
+        .select(*_KEY, "table_id", "cell_id")
+    )
+    return overlay, swallowed
+
+
 def tables_relational(blocks: DataFrame) -> DataFrame:
-    """B6+B8+B9: one row per TABLE with n_rows, n_cols and the csv
-    string — dense-grid fill and quoting all in Catalyst expressions."""
+    """B6+B7+B8+B9: one row per TABLE with n_rows, n_cols and the csv
+    string — dense-grid fill, merged-cell overlay, and quoting all in
+    Catalyst expressions. Grid dims include swallowed constituents'
+    extents (fused-twin semantics); their texts do not render."""
     tables = blocks.filter(F.col("block_type") == "TABLE").select(
         *_KEY, F.col("id").alias("table_id"), F.col("page"),
         F.explode("child_ids").alias("cell_id"),
@@ -122,9 +193,17 @@ def tables_relational(blocks: DataFrame) -> DataFrame:
         .join(cell_text, on=_KEY + ["cell_id"], how="left")
         .withColumn("text", F.coalesce("text", F.lit("")))
     )
+    # dims BEFORE the swallow pass: merged spans still bound the grid
     dims = placed.groupBy(*_KEY, "table_id", "page").agg(
         F.max(F.col("r") + F.col("rs") - 1).alias("n_rows"),
         F.max(F.col("c") + F.col("cs") - 1).alias("n_cols"),
+    )
+    overlay, swallowed = _merged_overlay(blocks, cells, cell_text)
+    placed = (
+        placed.join(swallowed, on=_KEY + ["table_id", "cell_id"], how="left_anti")
+        .join(overlay, on=_KEY + ["table_id", "r", "c"], how="left")
+        .withColumn("text", F.coalesce("mtext", "text"))
+        .drop("mtext")
     )
     # dense grid: every (r, c) position, '' where no cell anchors
     grid = dims.select(

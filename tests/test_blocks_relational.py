@@ -93,3 +93,61 @@ def test_container_texts_order_sensitivity(spark):
     ).repartition(4)
     out = container_texts(df, ["LINE"]).collect()
     assert out[0]["text"] == "alpha beta gamma"
+
+
+def test_merged_cells_relational_matches_fused_on_ingested_json(spark):
+    """B7 on the relational path (VERDICT r1 item 6): a raw Textract
+    response containing MERGED_CELL, ingested through
+    parse_response_chunks, must render the SAME grid as the fused core
+    (anchor carries merged text, constituents swallowed, dims keep the
+    merged span's extent)."""
+    import json
+
+    from amazon_textract_enhancer_spark.core.blocks import reconstruct_tables
+    from amazon_textract_enhancer_spark.core.csvutil import render_csv  # noqa: F401
+    from amazon_textract_enhancer_spark.sources.blockjson import parse_response_chunks
+
+    def w(i, text):
+        return {"Id": f"w{i}", "BlockType": "WORD", "Text": text, "Confidence": 99.0}
+
+    def cell(i, r, c, word_ids, rs=1, cs=1):
+        b = {"Id": f"c{i}", "BlockType": "CELL", "RowIndex": r, "ColumnIndex": c,
+             "RowSpan": rs, "ColumnSpan": cs, "Confidence": 96.0}
+        if word_ids:
+            b["Relationships"] = [{"Type": "CHILD", "Ids": word_ids}]
+        return b
+
+    blocks_json = [
+        {"Id": "p1", "BlockType": "PAGE", "Page": 1,
+         "Relationships": [{"Type": "CHILD", "Ids": ["t1"]}]},
+        {"Id": "t1", "BlockType": "TABLE", "Page": 1,
+         "Relationships": [
+             {"Type": "CHILD", "Ids": ["c1", "c2", "c3", "c4", "c5", "c6"]},
+             {"Type": "MERGED_CELL", "Ids": ["m1", "m2"]},
+         ]},
+        # header row: c1+c2 merged horizontally ("big title"), c3 normal
+        cell(1, 1, 1, ["w1", "w2"]), cell(2, 1, 2, []), cell(3, 1, 3, ["w3"]),
+        # body row: c4 normal, c5+c6 merged ("sum 42" from constituents)
+        cell(4, 2, 1, ["w4"]), cell(5, 2, 2, ["w5"]), cell(6, 2, 3, ["w6"]),
+        {"Id": "m1", "BlockType": "MERGED_CELL", "RowIndex": 1, "ColumnIndex": 1,
+         "RowSpan": 1, "ColumnSpan": 2,
+         "Relationships": [{"Type": "CHILD", "Ids": ["c1", "c2"]}]},
+        {"Id": "m2", "BlockType": "MERGED_CELL", "RowIndex": 2, "ColumnIndex": 2,
+         "RowSpan": 1, "ColumnSpan": 2,
+         "Relationships": [{"Type": "CHILD", "Ids": ["c5", "c6"]}]},
+        w(1, "big"), w(2, "title"), w(3, "hdr"),
+        w(4, "left"), w(5, "sum"), w(6, "42"),
+    ]
+    resp = {"JobStatus": "SUCCEEDED", "NextToken": None, "Blocks": blocks_json}
+    chunks = spark.createDataFrame(
+        [("doc1", 0, 0, json.dumps(resp))],
+        "conv_id string, turn_idx int, page_seq int, response_json string",
+    )
+    ingested = parse_response_chunks(chunks)
+    got = tables_relational(ingested).collect()
+    assert len(got) == 1
+    g = got[0]
+
+    want = reconstruct_tables(blocks_json)[0]
+    assert (g["n_rows"], g["n_cols"]) == (want["n_rows"], want["n_cols"]) == (2, 3)
+    assert g["csv"] == want["csv"] == "big title,,hdr\nleft,sum 42,"
