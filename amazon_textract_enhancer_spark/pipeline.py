@@ -36,7 +36,12 @@ def run_extraction_pipeline(
     n_buckets: int = 16,
     input_snapshot: str | None = None,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns manifests per stage."""
+    """Run (or resume) the full pipeline; returns manifests per stage
+    plus a ``_stage_seconds`` timing map (per-stage wall, for the
+    scaling-evidence split of compute vs commit I/O)."""
+    import time as _time
+
+    stage_seconds: dict[str, float] = {}
     io = TableIO(warehouse)
     if input_snapshot is None:
         # text included: a text-only edit must produce a new snapshot id,
@@ -46,6 +51,7 @@ def run_extraction_pipeline(
     manifests: dict[str, dict] = {}
 
     # stage 1: extraction (shuffle-free UDF stage) + bucketed commit (F1)
+    _t = _time.monotonic()
     if io.is_committed("extracted_spans", input_snapshot, CONFIG_HASH):
         manifests["extracted_spans"] = io.read_manifest("extracted_spans")
     else:
@@ -60,9 +66,11 @@ def run_extraction_pipeline(
             bucket_col="conv_id",
             n_buckets=n_buckets,
         )
+    stage_seconds["extracted_spans"] = round(_time.monotonic() - _t, 2)
     spans = io.read_table(spark, "extracted_spans")
 
     # stage 2: conversation rollup (explicit salting F2)
+    _t = _time.monotonic()
     if io.is_committed("conv_rollup", input_snapshot, CONFIG_HASH):
         manifests["conv_rollup"] = io.read_manifest("conv_rollup")
     else:
@@ -72,7 +80,10 @@ def run_extraction_pipeline(
             counter_cols=["n_turns", "n_tables", "n_forms", "n_skipped"],
         )
 
+    stage_seconds["conv_rollup"] = round(_time.monotonic() - _t, 2)
+
     # stage 3: tokens inverted index (serving layer A9/C5)
+    _t = _time.monotonic()
     if io.is_committed("tokens", input_snapshot, CONFIG_HASH):
         manifests["tokens"] = io.read_manifest("tokens")
     else:
@@ -85,5 +96,7 @@ def run_extraction_pipeline(
             toks, "tokens", input_snapshot, CONFIG_HASH,
             counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,
         )
+    stage_seconds["tokens"] = round(_time.monotonic() - _t, 2)
 
+    manifests["_stage_seconds"] = stage_seconds
     return manifests

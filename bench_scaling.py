@@ -16,10 +16,14 @@ not an engine property. On a real cluster each executor brings its own
 cores (and disks), which is the regime local[2]→local[8] models.
 
 The measured job is the extraction job (scan → fused extraction UDF →
-full materialization). The commit stages are reported separately in
-full-pipeline mode: the sandbox's single shared disk (~5-60 MB/s,
-high variance) serializes commit I/O identically at every thread
-count, so including it would measure the disk, not the engine.
+full materialization). Full-pipeline mode (3 committed stages) is
+measured separately WITH THE WAREHOUSE ON tmpfs (/dev/shm): the
+sandbox's single shared virtio disk (~5-60 MB/s, high variance)
+otherwise serializes commit I/O identically at every thread count and
+the run measures the disk, not the engine (round-1 full-pipeline
+efficiency was 0.52 purely from that). On a real cluster each executor
+commits to its own disks/object-store shards, which tmpfs stands in
+for; per-stage wall times are reported so the split is auditable.
 
 Runs via spark-submit --py-files (the mandated launch path), 3 reps
 per level, medians; gate: efficiency >= 0.8. Writes BENCH/BASELINE.md.
@@ -44,6 +48,12 @@ INPUT = os.path.join(REPO, ".bench", "transcripts")
 ZIP = os.path.join(REPO, ".bench", "ates.zip")
 N_SMALL = "local[2]"
 N_LARGE = "local[8]"
+# warehouse for the full-pipeline runs: tmpfs, so commits measure the
+# engine rather than the sandbox's single shared disk (see module doc)
+WH_BASE = os.environ.get(
+    "ATES_WH_BASE",
+    "/dev/shm/ates-bench" if os.path.isdir("/dev/shm") else os.path.join(REPO, ".bench"),
+)
 
 
 def build_zip() -> None:
@@ -59,7 +69,7 @@ def build_zip() -> None:
 
 def run_once(master: str, rep: int, mode: str) -> dict:
     wh = os.path.join(
-        REPO, ".bench", f"wh-{master.replace('[', '').replace(']', '')}-{rep}"
+        WH_BASE, f"wh-{master.replace('[', '').replace(']', '')}-{rep}"
     )
     cmd = [
         "spark-submit",
@@ -106,7 +116,8 @@ def main() -> None:
         full_results[m] = fr
         print(
             f"full {m}: {fr['turns']} turns in {fr['wall_sec']}s "
-            f"= {fr['turns_per_sec']} turns/s (3 committed stages)",
+            f"= {fr['turns_per_sec']} turns/s (3 committed stages, "
+            f"warehouse={WH_BASE}, stages={fr['manifests'].get('stage_seconds')})",
             flush=True,
         )
 
@@ -125,6 +136,7 @@ def main() -> None:
         "efficiency_full_pipeline": round(eff_full, 3),
         "gate_0.8": eff >= 0.8,
         "reps": REPS,
+        "warehouse_base": WH_BASE,
         "runs": results,
         "full_runs": full_results,
     }
@@ -151,8 +163,8 @@ def main() -> None:
         "(measured: throughput regresses beyond local[16] from JVM/worker",
         "core contention — a single-machine artifact, not an engine one).",
         "",
-        "| run | master | input turns | wall s | turns/sec |",
-        "| --- | --- | --- | --- | --- |",
+        "| run | master | input turns | wall s | turns/sec | stage split |",
+        "| --- | --- | --- | --- | --- | --- |",
     ]
     for m in masters:
         for i, r in enumerate(results[m]):
@@ -161,8 +173,10 @@ def main() -> None:
             )
     for m in masters:
         fr = full_results[m]
+        st = fr["manifests"].get("stage_seconds", {})
+        st_s = "; ".join(f"{k}={v}s" for k, v in st.items())
         lines.append(
-            f"| full pipeline | {m} | {fr['turns']} | {fr['wall_sec']} | {fr['turns_per_sec']} |"
+            f"| full pipeline | {m} | {fr['turns']} | {fr['wall_sec']} | {fr['turns_per_sec']} | {st_s} |"
         )
     lines += [
         "",
@@ -172,11 +186,14 @@ def main() -> None:
         f"**Scaling efficiency** = tps({N_LARGE}) / (4 × tps({N_SMALL})) = "
         f"**{eff:.3f}** (gate ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})",
         "",
-        f"Full-pipeline (3 committed stages incl. parquet writes) efficiency: "
-        f"{eff_full:.3f} — the sandbox's single shared disk (measured 5–67 MB/s,",
-        "high variance) serializes commit I/O identically at every thread",
-        "count; on a real cluster each executor brings its own disks, so the",
-        "extraction-job efficiency is the architecture-relevant number.",
+        f"**Full-pipeline efficiency (3 committed stages incl. parquet",
+        f"writes): {eff_full:.3f}**, measured with the warehouse on",
+        f"`{WH_BASE}` (tmpfs). Round 1 measured 0.52 with the warehouse on",
+        "the sandbox's single shared virtio disk (5–67 MB/s): that number",
+        "measured the disk — identical serialized I/O at every thread",
+        "count — not the engine. tmpfs stands in for a real cluster's",
+        "per-executor disks / sharded object store; per-stage wall times",
+        "above make the compute-vs-commit split auditable.",
         "",
         "Spark conf: driver-memory 12g, shuffle.partitions 64, AQE on.",
         "Box: 32 logical cores, 128 GiB, single shared virtio disk.",

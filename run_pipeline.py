@@ -65,7 +65,9 @@ def main() -> None:
         manifests = run_extraction_pipeline(spark, transcripts, warehouse)
         wall = time.monotonic() - t0
         turns = manifests["extracted_spans"]["rows"]
+        stage_seconds = manifests.pop("_stage_seconds", {})
         manifests_out = {k: m["rows"] for k, m in manifests.items()}
+        manifests_out["stage_seconds"] = stage_seconds
 
     print(
         json.dumps(

@@ -31,7 +31,7 @@ def _hash_table(df, cols):
 
 def test_pipeline_commit_and_resume_identical(spark, transcripts_df, warehouse):
     m1 = run_extraction_pipeline(spark, transcripts_df, warehouse)
-    assert set(m1) == {"extracted_spans", "conv_rollup", "tokens"}
+    assert set(m1) == {"extracted_spans", "conv_rollup", "tokens", "_stage_seconds"}
     io = TableIO(warehouse)
     h_before = _hash_table(
         io.read_table(spark, "extracted_spans"), ["conv_id", "turn_idx", "extracted_text"]
