@@ -18,7 +18,14 @@ EN_MARKERS = (" the ", " a ", " data ", " fast ")
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic: count EN marker hits;
-    >=2 → 'en', 1 → 'mixed', 0 → 'unk'."""
+    >=2 → 'en', 1 → 'mixed', 0 → 'unk'.
+
+    Precision honesty: 4 English stopword markers make this a SHAPE
+    demonstration (the oracle-checked expression skeleton of a
+    lang-ID stage), not a classifier — real pipelines swap in a
+    per-language marker table (fastText-style n-gram profiles) behind
+    the same groupBy census; precision on real multilingual text with
+    this marker set would be poor and is not claimed anywhere."""
     docs = t(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     hits = None
