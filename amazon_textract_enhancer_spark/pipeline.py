@@ -13,10 +13,15 @@ also the job the bench harness runs at two parallelism levels for the
 scaling-efficiency evidence (BASELINE.md protocol).
 
 Cluster launch: ``spark-submit --py-files ates.zip run_pipeline.py``
-(see bench_scaling.py for the exact invocation used in-sandbox).
+(see bench_scaling.py for the exact invocation used in-sandbox). In
+production each stage is typically its own spark-submit (Airflow-style
+stage-per-job scheduling) — pass ``stages=[...]`` to run a subset; the
+manifest resume protocol makes the split safe.
 """
 
 from __future__ import annotations
+
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +32,7 @@ from .sources.tableio import TableIO, snapshot_id_of
 from .stages import extract_spans
 
 CONFIG_HASH = "pipeline-v1"
+STAGES = ("extracted_spans", "conv_rollup", "tokens")
 
 
 def run_extraction_pipeline(
@@ -35,12 +41,16 @@ def run_extraction_pipeline(
     warehouse: str,
     n_buckets: int = 16,
     input_snapshot: str | None = None,
+    stages: list[str] | None = None,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns manifests per stage
-    plus a ``_stage_seconds`` timing map (per-stage wall, for the
-    scaling-evidence split of compute vs commit I/O)."""
-    import time as _time
+    """Run (or resume) the pipeline; returns manifests per stage plus a
+    ``_stage_seconds`` timing map (per-stage wall, for the
+    scaling-evidence split of compute vs commit I/O).
 
+    ``stages``: run only the named subset (stage-per-job scheduling:
+    each later stage resumes from the previous stage's committed
+    table)."""
+    run_set = set(stages) if stages is not None else set(STAGES)
     stage_seconds: dict[str, float] = {}
     io = TableIO(warehouse)
     if input_snapshot is None:
@@ -51,52 +61,56 @@ def run_extraction_pipeline(
     manifests: dict[str, dict] = {}
 
     # stage 1: extraction (shuffle-free UDF stage) + bucketed commit (F1)
-    _t = _time.monotonic()
-    if io.is_committed("extracted_spans", input_snapshot, CONFIG_HASH):
-        manifests["extracted_spans"] = io.read_manifest("extracted_spans")
-    else:
-        spans = extract_spans(transcripts)
-        manifests["extracted_spans"] = io.commit_stage(
-            spans,
-            "extracted_spans",
-            input_snapshot,
-            CONFIG_HASH,
-            counter_cols=["counters.blocks_parsed", "counters.tables_reconstructed",
-                          "counters.kv_pairs"],
-            bucket_col="conv_id",
-            n_buckets=n_buckets,
-        )
-    stage_seconds["extracted_spans"] = round(_time.monotonic() - _t, 2)
-    spans = io.read_table(spark, "extracted_spans")
+    if "extracted_spans" in run_set:
+        _t = _time.monotonic()
+        if io.is_committed("extracted_spans", input_snapshot, CONFIG_HASH):
+            manifests["extracted_spans"] = io.read_manifest("extracted_spans")
+        else:
+            spans = extract_spans(transcripts)
+            manifests["extracted_spans"] = io.commit_stage(
+                spans,
+                "extracted_spans",
+                input_snapshot,
+                CONFIG_HASH,
+                counter_cols=["counters.blocks_parsed", "counters.tables_reconstructed",
+                              "counters.kv_pairs"],
+                bucket_col="conv_id",
+                n_buckets=n_buckets,
+            )
+        stage_seconds["extracted_spans"] = round(_time.monotonic() - _t, 2)
+
+    if run_set - {"extracted_spans"}:
+        spans = io.read_table(spark, "extracted_spans")
 
     # stage 2: conversation rollup (explicit salting F2)
-    _t = _time.monotonic()
-    if io.is_committed("conv_rollup", input_snapshot, CONFIG_HASH):
-        manifests["conv_rollup"] = io.read_manifest("conv_rollup")
-    else:
-        rollup = salted_conv_rollup(spans)
-        manifests["conv_rollup"] = io.commit_stage(
-            rollup, "conv_rollup", input_snapshot, CONFIG_HASH,
-            counter_cols=["n_turns", "n_tables", "n_forms", "n_skipped"],
-        )
-
-    stage_seconds["conv_rollup"] = round(_time.monotonic() - _t, 2)
+    if "conv_rollup" in run_set:
+        _t = _time.monotonic()
+        if io.is_committed("conv_rollup", input_snapshot, CONFIG_HASH):
+            manifests["conv_rollup"] = io.read_manifest("conv_rollup")
+        else:
+            rollup = salted_conv_rollup(spans)
+            manifests["conv_rollup"] = io.commit_stage(
+                rollup, "conv_rollup", input_snapshot, CONFIG_HASH,
+                counter_cols=["n_turns", "n_tables", "n_forms", "n_skipped"],
+            )
+        stage_seconds["conv_rollup"] = round(_time.monotonic() - _t, 2)
 
     # stage 3: tokens inverted index (serving layer A9/C5)
-    _t = _time.monotonic()
-    if io.is_committed("tokens", input_snapshot, CONFIG_HASH):
-        manifests["tokens"] = io.read_manifest("tokens")
-    else:
-        toks = (
-            tokenize(spans, "extracted_text", ["conv_id", "turn_idx"])
-            .groupBy("term", "conv_id", "turn_idx")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-        )
-        manifests["tokens"] = io.commit_stage(
-            toks, "tokens", input_snapshot, CONFIG_HASH,
-            counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,
-        )
-    stage_seconds["tokens"] = round(_time.monotonic() - _t, 2)
+    if "tokens" in run_set:
+        _t = _time.monotonic()
+        if io.is_committed("tokens", input_snapshot, CONFIG_HASH):
+            manifests["tokens"] = io.read_manifest("tokens")
+        else:
+            toks = (
+                tokenize(spans, "extracted_text", ["conv_id", "turn_idx"])
+                .groupBy("term", "conv_id", "turn_idx")
+                .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            )
+            manifests["tokens"] = io.commit_stage(
+                toks, "tokens", input_snapshot, CONFIG_HASH,
+                counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,
+            )
+        stage_seconds["tokens"] = round(_time.monotonic() - _t, 2)
 
     manifests["_stage_seconds"] = stage_seconds
     return manifests

@@ -44,6 +44,12 @@ import zipfile
 REPO = os.path.dirname(os.path.abspath(__file__))
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 22000
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+# full-pipeline reps: the box's shared-CPU noise is ±30% run-to-run
+# (measured), so a single full run per master can invert the ratio;
+# medians over alternating-order reps bound the noise
+FULL_REPS = int(os.environ.get("ATES_FULL_REPS", "2"))
+# reuse extract runs from a previous scaling_results.json (full-only rerun)
+SKIP_EXTRACT = os.environ.get("ATES_SKIP_EXTRACT") == "1"
 INPUT = os.path.join(REPO, ".bench", "transcripts")
 ZIP = os.path.join(REPO, ".bench", "ates.zip")
 N_SMALL = "local[2]"
@@ -71,10 +77,17 @@ def run_once(master: str, rep: int, mode: str) -> dict:
     wh = os.path.join(
         WH_BASE, f"wh-{master.replace('[', '').replace(']', '')}-{rep}"
     )
+    # shuffle/spill dirs follow the warehouse onto tmpfs: the box's ONE
+    # shared virtio disk seek-thrashes under 8 concurrent shuffle
+    # writers (measured: the tokens-stage shuffle ran 2x SLOWER at
+    # local[8] than local[2] on it), which inverts any scaling number —
+    # a real cluster shuffles to per-executor local disks
+    local_dir = os.path.join(WH_BASE, "spark-local")
     cmd = [
         "spark-submit",
         "--master", master,
         "--driver-memory", "12g",
+        "--conf", f"spark.local.dir={local_dir}",
         "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
@@ -92,6 +105,52 @@ def run_once(master: str, rep: int, mode: str) -> dict:
     return res
 
 
+def run_staged_full(master: str, rep: int) -> dict:
+    """Full pipeline as one spark-submit PER STAGE (the production
+    scheduling shape — Airflow-style stage-per-job; resume makes the
+    split safe). Wall = sum of per-stage in-job walls, so per-submit
+    JVM/session startup is excluded exactly like the extract protocol.
+    This also sidesteps a local-mode artifact: all three stages sharing
+    ONE JVM (driver+executors cohabit in local mode) degrades the
+    tokens stage's hash aggregation ~4x after a 1M-turn extraction has
+    churned the heap — on a real cluster stages land on separate
+    executor JVMs."""
+    wh = os.path.join(WH_BASE, f"whst-{master.replace('[', '').replace(']', '')}-{rep}")
+    shutil.rmtree(wh, ignore_errors=True)
+    stage_seconds: dict[str, float] = {}
+    turns = 0
+    for stage in ("extracted_spans", "conv_rollup", "tokens"):
+        cmd = [
+            "spark-submit",
+            "--master", master,
+            "--driver-memory", "12g",
+            "--conf", f"spark.local.dir={os.path.join(WH_BASE, 'spark-local')}",
+            "--conf", "spark.sql.shuffle.partitions=64",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--py-files", ZIP,
+            os.path.join(REPO, "run_pipeline.py"),
+            INPUT, wh, f"--stages={stage}",
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=5400)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"staged run failed: {out.stderr[-2000:]}")
+        res = json.loads(lines[-1])
+        stage_seconds.update(res["manifests"]["stage_seconds"])
+        turns = res["turns"]
+    shutil.rmtree(wh, ignore_errors=True)
+    wall = round(sum(stage_seconds.values()), 2)
+    return {
+        "turns": turns,
+        "wall_sec": wall,
+        "turns_per_sec": round(turns / wall, 1),
+        "mode": "full-staged",
+        "manifests": {"stage_seconds": stage_seconds},
+    }
+
+
 def main() -> None:
     if not os.path.exists(INPUT) or os.environ.get("ATES_REGEN") == "1":
         subprocess.run(
@@ -102,31 +161,43 @@ def main() -> None:
 
     masters = [N_SMALL, N_LARGE]
     results: dict[str, list[dict]] = {m: [] for m in masters}
-    full_results: dict[str, dict] = {}
-    for m in masters:
-        for rep in range(REPS):
-            r = run_once(m, rep, "extract")
-            results[m].append(r)
+    full_results: dict[str, list[dict]] = {m: [] for m in masters}
+    if SKIP_EXTRACT:
+        with open(os.path.join(REPO, "BENCH", "scaling_results.json")) as f:
+            prev = json.load(f)
+        results = {m: prev["runs"][m] for m in masters}
+        print("extract runs reused from previous scaling_results.json", flush=True)
+    else:
+        for m in masters:
+            for rep in range(REPS):
+                r = run_once(m, rep, "extract")
+                results[m].append(r)
+                print(
+                    f"extract {m} rep{rep}: {r['turns']} turns in {r['wall_sec']}s "
+                    f"= {r['turns_per_sec']} turns/s",
+                    flush=True,
+                )
+    # full-pipeline reps: stage-per-job scheduling (see run_staged_full),
+    # alternating masters so slow-box phases hit both
+    for rep in range(FULL_REPS):
+        for m in masters:
+            fr = run_staged_full(m, rep)
+            full_results[m].append(fr)
             print(
-                f"extract {m} rep{rep}: {r['turns']} turns in {r['wall_sec']}s "
-                f"= {r['turns_per_sec']} turns/s",
+                f"full-staged {m} rep{rep}: {fr['turns']} turns in {fr['wall_sec']}s "
+                f"= {fr['turns_per_sec']} turns/s (3 committed stages, "
+                f"warehouse={WH_BASE}, stages={fr['manifests'].get('stage_seconds')})",
                 flush=True,
             )
-        fr = run_once(m, 99, "full")
-        full_results[m] = fr
-        print(
-            f"full {m}: {fr['turns']} turns in {fr['wall_sec']}s "
-            f"= {fr['turns_per_sec']} turns/s (3 committed stages, "
-            f"warehouse={WH_BASE}, stages={fr['manifests'].get('stage_seconds')})",
-            flush=True,
-        )
 
     med = {m: statistics.median(r["turns_per_sec"] for r in results[m]) for m in masters}
     turns = results[masters[0]][0]["turns"]
     eff = med[N_LARGE] / (4 * med[N_SMALL])
-    eff_full = full_results[N_LARGE]["turns_per_sec"] / (
-        4 * full_results[N_SMALL]["turns_per_sec"]
-    )
+    med_full = {
+        m: statistics.median(r["turns_per_sec"] for r in full_results[m])
+        for m in masters
+    }
+    eff_full = med_full[N_LARGE] / (4 * med_full[N_SMALL])
     summary = {
         "input_turns": turns,
         "tps_small_median": med[N_SMALL],
@@ -172,12 +243,12 @@ def main() -> None:
                 f"| extract rep{i} | {m} | {r['turns']} | {r['wall_sec']} | {r['turns_per_sec']} |"
             )
     for m in masters:
-        fr = full_results[m]
-        st = fr["manifests"].get("stage_seconds", {})
-        st_s = "; ".join(f"{k}={v}s" for k, v in st.items())
-        lines.append(
-            f"| full pipeline | {m} | {fr['turns']} | {fr['wall_sec']} | {fr['turns_per_sec']} | {st_s} |"
-        )
+        for i, fr in enumerate(full_results[m]):
+            st = fr["manifests"].get("stage_seconds", {})
+            st_s = "; ".join(f"{k}={v}s" for k, v in st.items())
+            lines.append(
+                f"| full pipeline rep{i} | {m} | {fr['turns']} | {fr['wall_sec']} | {fr['turns_per_sec']} | {st_s} |"
+            )
     lines += [
         "",
         f"**Median extraction turns/sec:** {N_SMALL} = {med[N_SMALL]}, "

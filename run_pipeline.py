@@ -30,8 +30,13 @@ def main() -> None:
     # --mode extract: the extraction job through a noop sink (CPU-bound,
     # used for the scaling-efficiency gate — sandbox disk is shared
     # across thread counts, see BENCH/BASELINE.md). --mode full: all
-    # three committed stages.
+    # three committed stages. --stages=a,b: run only those pipeline
+    # stages (stage-per-job scheduling; resume picks up prior commits).
     mode = "extract" if "--mode=extract" in sys.argv else "full"
+    stages = None
+    for a in sys.argv:
+        if a.startswith("--stages="):
+            stages = a.split("=", 1)[1].split(",")
     if fresh:
         shutil.rmtree(warehouse, ignore_errors=True)
 
@@ -62,10 +67,15 @@ def main() -> None:
         manifests_out = {}
     else:
         t0 = time.monotonic()
-        manifests = run_extraction_pipeline(spark, transcripts, warehouse)
+        manifests = run_extraction_pipeline(spark, transcripts, warehouse, stages=stages)
         wall = time.monotonic() - t0
-        turns = manifests["extracted_spans"]["rows"]
         stage_seconds = manifests.pop("_stage_seconds", {})
+        if "extracted_spans" in manifests:
+            turns = manifests["extracted_spans"]["rows"]
+        else:
+            from amazon_textract_enhancer_spark.sources.tableio import TableIO
+
+            turns = TableIO(warehouse).read_manifest("extracted_spans")["rows"]
         manifests_out = {k: m["rows"] for k, m in manifests.items()}
         manifests_out["stage_seconds"] = stage_seconds
 
