@@ -64,6 +64,7 @@ SPARK_QUERIES = {
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ✂
     "dedup_simhash": dedup.dedup_simhash,  # ✂
+    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,  # ✂
     # training-data pipeline: similarity search
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "ann_pairs_threshold": similarity.ann_pairs_threshold,

@@ -27,6 +27,46 @@ def tokenize(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     )
 
 
+def term_frequencies(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id..., term, tf) — identical result to
+    ``tokenize(...).groupBy(ids+term).count()`` but with ZERO shuffle:
+    term frequency is within-row local (a turn's terms all live in its
+    own text), so the counting is run-length encoding over the sorted
+    term array, all expression-level (sort → run-start indices → next
+    start − start). The 200M-exploded-row aggregation shuffle this
+    replaces was the one flat-scaling stage of the pipeline (measured
+    bandwidth-bound at every parallelism level on one box); the only
+    exchange left in the tokens stage is the bucket-by-term write.
+    Equality with the groupBy form is pinned in tests/test_sql_serving.
+    """
+    terms = F.array_sort(
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda x: x != "")
+    )
+    df = df.select(*id_cols, terms.alias("_terms"))
+    n = F.size("_terms")
+    # 0-based indices where a new run starts (ANSI: element_at is 1-based)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0)
+        | (F.element_at(F.col("_terms"), i + 1) != F.element_at(F.col("_terms"), i)),
+    )
+    df = df.withColumn("_starts", F.when(n > 0, starts).otherwise(F.array().cast("array<int>")))
+    m = F.size("_starts")
+    entry = lambda j: F.struct(  # noqa: E731
+        F.element_at(F.col("_terms"), F.element_at(F.col("_starts"), j + 1) + 1).alias("term"),
+        (
+            F.coalesce(F.try_element_at(F.col("_starts"), j + 2), F.size("_terms"))
+            - F.element_at(F.col("_starts"), j + 1)
+        ).cast("int").alias("tf"),
+    )
+    entries = F.when(m > 0, F.transform(F.sequence(F.lit(0), m - 1), entry)).otherwise(
+        F.array().cast("array<struct<term:string,tf:int>>")
+    )
+    return df.select(*id_cols, F.explode(entries).alias("_e")).select(
+        *id_cols, F.col("_e.term").alias("term"), F.col("_e.tf").alias("tf")
+    )
+
+
 def c1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 — DynamoDB GetItem analog: point predicate, pushed to the scan
     (bucket/row-group prune on a bucketed production table)."""
@@ -122,9 +162,9 @@ def register_serving_views(spark: SparkSession, spans: DataFrame) -> None:
     answered as plain ``spark.sql`` (same Catalyst plans as the
     DataFrame forms; use whichever reads clearer)."""
     spans.createOrReplaceTempView("extracted_spans")
-    tokenize(spans, "extracted_text", ["conv_id", "turn_idx"]).groupBy(
-        "term", "conv_id", "turn_idx"
-    ).agg(F.count(F.lit(1)).cast("int").alias("tf")).createOrReplaceTempView("tokens")
+    term_frequencies(
+        spans, "extracted_text", ["conv_id", "turn_idx"]
+    ).createOrReplaceTempView("tokens")
 
 
 # Parameterized SQL templates (named parameter markers, Spark 3.4+

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.scale import salted_conv_rollup
-from .operators.serving import tokenize
+from .operators.serving import term_frequencies
 from .sources.tableio import TableIO, snapshot_id_of
 from .stages import extract_spans
 
@@ -101,11 +101,9 @@ def run_extraction_pipeline(
         if io.is_committed("tokens", input_snapshot, CONFIG_HASH):
             manifests["tokens"] = io.read_manifest("tokens")
         else:
-            toks = (
-                tokenize(spans, "extracted_text", ["conv_id", "turn_idx"])
-                .groupBy("term", "conv_id", "turn_idx")
-                .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-            )
+            # tf is within-turn local: run-length encoding per row, zero
+            # shuffle — the only exchange is the bucket-by-term write
+            toks = term_frequencies(spans, "extracted_text", ["conv_id", "turn_idx"])
             manifests["tokens"] = io.commit_stage(
                 toks, "tokens", input_snapshot, CONFIG_HASH,
                 counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,

@@ -86,3 +86,19 @@ def test_lsh_hot_buckets_audit(spark, skew_dir):
 def test_identical_docs_are_exact_dedups_job(spark, skew_dir):
     clusters = dedup_exact(spark, skew_dir).filter(F.col("n_dups") > 1).collect()
     assert len(clusters) == 1 and clusters[0]["n_dups"] == N_IDENTICAL
+
+
+def test_simhash_pairs_hamming_probe_and_cap(spark, skew_dir):
+    """SimHash pair mining: hamming-ball probe finds near-dup pairs,
+    exact Jaccard verification kills fingerprint coincidences, and the
+    hot-fingerprint cap drops the identical-doc flood."""
+    from amazon_textract_enhancer_spark.operators.dedup import dedup_simhash_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_simhash_pairs(spark, skew_dir, bucket_cap=50).collect()
+    }
+    # identical boilerplate docs are over-cap -> no pairs among them
+    assert all(a >= 5001 for a, _ in got)
+    # every emitted pair is exactly verified
+    assert all(j >= 0.8 for j in got.values())

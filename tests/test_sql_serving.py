@@ -89,3 +89,38 @@ def test_sql_templates_have_no_format_placeholders():
     """Regression guard: no str.format splice points remain."""
     for name, sql in SERVING_SQL.items():
         assert "{" not in sql and "}" not in sql, name
+
+
+def test_term_frequencies_equals_groupby_tokenize(spark, served):
+    """The zero-shuffle run-length tf must equal the exploded groupBy
+    form exactly (the pipeline's tokens stage runs the former; the
+    latter is the obvious spec)."""
+    from pyspark.sql import functions as F
+
+    from amazon_textract_enhancer_spark.operators.serving import (
+        term_frequencies,
+        tokenize,
+    )
+
+    fast = {
+        (r["conv_id"], r["turn_idx"], r["term"]): r["tf"]
+        for r in term_frequencies(
+            served, "extracted_text", ["conv_id", "turn_idx"]
+        ).collect()
+    }
+    spec = {
+        (r["conv_id"], r["turn_idx"], r["term"]): r["tf"]
+        for r in tokenize(served, "extracted_text", ["conv_id", "turn_idx"])
+        .groupBy("conv_id", "turn_idx", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .collect()
+    }
+    assert fast == spec and len(fast) > 1000
+
+
+def test_term_frequencies_is_shuffle_free(spark, served):
+    from amazon_textract_enhancer_spark.operators.serving import term_frequencies
+    from amazon_textract_enhancer_spark.plans import n_exchanges
+
+    df = term_frequencies(served, "extracted_text", ["conv_id", "turn_idx"])
+    assert n_exchanges(df) == 0
