@@ -57,6 +57,7 @@ SPARK_QUERIES = {
     "c5_search_ilike": serving.c5_search_ilike,
     "c5_search_rank_topk": serving.c5_search_rank_topk,
     "c6_tokenize_df": serving.c6_tokenize_df,
+    "text_term_tf": serving.text_term_tf,
     # §2.F scale mechanics
     "f2_salted_two_phase_agg": scale.f2_salted_two_phase_agg,
     # training-data pipeline: dedup
@@ -236,6 +237,11 @@ ORACLE_SQL = {
         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
             SELECT doc_id, unnest({_TOK}) AS term FROM documents
         ) WHERE term <> '' GROUP BY term
+    """,
+    "text_term_tf": f"""
+        SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+        ) WHERE term <> '' GROUP BY doc_id, term HAVING count(*) >= 3
     """,
     "f2_salted_two_phase_agg": """
         SELECT l_suppkey, sum(l_quantity) AS sum_qty,

@@ -111,6 +111,14 @@ def c5_search_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term frequencies (tf >= 3) via the zero-shuffle
+    run-length encoder — the tokens-stage operator, oracle-checked
+    against DuckDB's unnest + groupBy twin."""
+    docs = t(spark, sf_dir, "documents")
+    return term_frequencies(docs, "text", ["doc_id"]).filter(F.col("tf") >= 3)
+
+
 def c6_tokenize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/A9 — the ES index analog: document frequency per term."""
     docs = t(spark, sf_dir, "documents")
