@@ -24,7 +24,6 @@ from __future__ import annotations
 import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .operators.scale import salted_conv_rollup
 from .operators.serving import term_frequencies
