@@ -408,3 +408,92 @@ def turn_dedup_within_conv(spans: DataFrame, threshold: float = 0.9) -> DataFram
     return spans.select("conv_id", "turn_idx", "extracted_text").groupBy(
         "conv_id"
     ).applyInPandas(per_conv, "conv_id string, turn_idx int, dup_of_prev boolean, sim double")
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20, single_partition: bool = True
+) -> DataFrame:
+    """(doc_id, label) — connected components of an undirected pair
+    graph via Pregel-style min-label propagation: every vertex starts
+    labelled with itself; each round takes the min over its own and its
+    neighbors' labels; fixpoint in <= graph-diameter rounds. Lineage is
+    truncated per round (localCheckpoint) so the plan stays O(1) deep;
+    the convergence check is a metadata count, not a data collect. At
+    corpus scale this is the standard label-propagation CC (the
+    large-star/small-star optimization halves rounds on long chains —
+    not needed at near-dup-cluster diameters, which are tiny).
+
+    ``edges``: (doc_a, doc_b) pairs, any orientation.
+    ``single_partition``: the near-dup pair graph is a sliver of the
+    corpus (0.1%-ish); below ~10M edges the per-round shuffle-job
+    overhead dwarfs the work, so iterate in one partition. Pass False
+    for genuinely large graphs — every step below is partition-count
+    agnostic.
+    """
+    # materialize the edge list ONCE: it is re-joined every round, and
+    # leaving it lazy would re-run the (expensive) pair-mining plan per
+    # iteration
+    both = edges.select("doc_a", "doc_b").unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    if single_partition:
+        both = both.coalesce(1)
+    both = both.localCheckpoint(eager=True)
+    labels = (
+        both.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            both.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"), F.col("label").alias("nlabel")
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nlabel").alias("min_neigh"))
+            .select(F.col("doc_a").alias("doc_id"), "min_neigh")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("min_neigh", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("doc_id", F.col("label").alias("new_label"))
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: near-dup pairs (3-gram Jaccard >= 0.8)
+    → connected components → one keeper per cluster (min doc_id) with
+    the sorted member list. The iterative Spark label propagation is
+    oracle-checked against a DuckDB recursive-CTE transitive closure —
+    the pipeline step that turns pairwise near-dup evidence into an
+    actionable drop list."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return labels.groupBy(F.col("label").alias("keep_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+        ).alias("members"),
+    )

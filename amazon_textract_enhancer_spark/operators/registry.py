@@ -66,6 +66,7 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ✂
     "dedup_simhash": dedup.dedup_simhash,  # ✂
     "dedup_simhash_pairs": dedup.dedup_simhash_pairs,  # ✂
+    "dedup_components": dedup.dedup_components,
     # training-data pipeline: similarity search
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "ann_pairs_threshold": similarity.ann_pairs_threshold,
@@ -276,6 +277,45 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+    """,
+    # iterative Spark label propagation vs recursive-CTE transitive
+    # closure — same pair graph as dedup_ngram_jaccard
+    "dedup_components": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, {_TOK} AS L FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(L) >= 3
+                          THEN list_transform(generate_series(1, len(L) - 2),
+                                               i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
+                          ELSE [] END) AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+            SELECT a AS src, b AS dst FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ), labels AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS label
+            FROM reach GROUP BY src
+        )
+        SELECT label AS keep_id, CAST(count(*) AS BIGINT) AS n_docs,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+        FROM labels GROUP BY label
     """,
     "ann_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -102,3 +102,29 @@ def test_simhash_pairs_hamming_probe_and_cap(spark, skew_dir):
     assert all(a >= 5001 for a, _ in got)
     # every emitted pair is exactly verified
     assert all(j >= 0.8 for j in got.values())
+
+
+def test_connected_components_transitive_clusters(spark, tmp_path_factory):
+    """Cluster resolution is transitive: A~B and B~C (each >= 0.8) with
+    A!~C (< 0.8) must land in ONE cluster keyed by min doc_id; disjoint
+    pairs form their own cluster; docs with no near-dup never appear."""
+    from amazon_textract_enhancer_spark.operators.dedup import dedup_components
+
+    base = [f"t{i}" for i in range(49)]
+    A = " ".join(base + ["alpha"])
+    B = " ".join(base + ["omega"])          # ~A (differ last token)
+    C = " ".join(["zeta"] + base[1:] + ["omega"])  # ~B (differ first), !~A
+    D = " ".join(f"d{i}" for i in range(50))
+    E = " ".join(f"d{i}" for i in range(49)) + " dx"  # ~D
+    F_ = " ".join(f"f{i}" for i in range(50))  # isolated
+    rows = [(1, A), (2, B), (3, C), (10, D), (11, E), (20, F_)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = tmp_path_factory.mktemp("ccsf")
+    df.write.parquet(str(d / "documents.parquet"))
+
+    got = {r["keep_id"]: (r["n_docs"], r["members"])
+           for r in dedup_components(spark, str(d)).collect()}
+    assert got == {1: (3, "1,2,3"), 10: (2, "10,11")}
