@@ -60,9 +60,15 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins for every SQL-expressible query.
 
     Keys missing here (relative to queries()) are the genuinely
-    non-SQL-expressible ✂ operators (extraction UDF pipeline, MinHash
-    LSH, SimHash) — the driver records rows-only checks for those.
+    non-SQL-expressible ✂ operators (MinHash LSH, SimHash, plane-hash
+    ANN, difflib turn dedup…) — the driver records rows-only checks for
+    those. The x_* twins read the pure-Python reference-extraction
+    cache, which this function materializes (idempotent, ~2 s once)
+    before returning the SQL, so the twins are runnable regardless of
+    whether the Spark side has executed yet.
     """
-    from amazon_textract_enhancer_spark.operators.registry import ORACLE_SQL
+    from amazon_textract_enhancer_spark.fixture_cache import ensure_fixture_cache
+    from amazon_textract_enhancer_spark.operators.registry import ORACLE_SQL, _XN_SF001
 
+    ensure_fixture_cache(_XN_SF001)
     return dict(ORACLE_SQL)

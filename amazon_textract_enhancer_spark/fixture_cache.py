@@ -1,0 +1,171 @@
+"""Committed fixture corpus for the flagship ``x_*`` extraction path
+(VERDICT r2 item 4: "commit the x_* fixture corpus via TableIO instead
+of per-query driver createDataFrame").
+
+Two cooperating materializations of the SAME deterministic (seed=42)
+corpus, both idempotent:
+
+1. **Pure-Python cache** (this module, no Spark): parquet files under
+   ``<repo>/.fixture_cache/<ver>-n<convs>/`` written with pyarrow —
+   ``transcripts.parquet`` (the north-rule input table) plus the
+   single-node-oracle outputs ``spans.parquet`` / ``blocks.parquet`` /
+   ``nodes.parquet`` (``oracle.extract_rows`` over the shared ``core``).
+   These are what the DuckDB oracle twins in ``registry.ORACLE_SQL``
+   read via ``read_parquet`` — so the driver's value-hash compare pins
+   *Spark extraction == pure-Python reference extraction* end-to-end,
+   not just relational algebra.
+
+2. **Spark-committed tables** (``extraction_queries.fixture_spans`` /
+   ``fixture_blocks`` / ``fixture_nodes``): the distributed extraction
+   stages run ONCE per (seed, sf) and commit via TableIO (bucketed by
+   conv_id, manifest resume) — every downstream ``x_*`` query reads the
+   committed table instead of re-extracting the corpus per registry
+   entry (r2 re-ran extract_spans up to 15x per sweep).
+
+The cache write is atomic (tmp dir + ``os.replace``) and versioned:
+bump ``FIXTURE_VERSION`` whenever the generator or extraction core
+changes shape, so a stale cache can never masquerade as current.
+
+Scale honesty: the pure-Python writer is the sf<=0.1 oracle path (a few
+hundred conversations). At sf>=1 the corpus is generated and extracted
+distributed (the TableIO path above with a Spark-side generator) and
+there is no single-node oracle — correctness at that scale rests on the
+small-sf parity plus the per-partition lineage counters (F4).
+"""
+
+from __future__ import annotations
+
+import os
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE_ROOT = os.path.join(_REPO_ROOT, ".fixture_cache")
+FIXTURE_VERSION = "v3"
+SEED = 42
+WHALE_CAP = 120  # same corpus shape as rounds 1-2 (extraction_queries)
+
+_FILES = ("transcripts.parquet", "spans.parquet", "blocks.parquet",
+          "nodes.parquet")
+
+
+def cache_dir(n_convs: int) -> str:
+    return os.path.join(CACHE_ROOT, f"{FIXTURE_VERSION}-n{n_convs}")
+
+
+def table_path(n_convs: int, table: str) -> str:
+    """Absolute path of one cached parquet (table in
+    {transcripts, spans, blocks, nodes})."""
+    return os.path.join(cache_dir(n_convs), f"{table}.parquet")
+
+
+def _arrow_schema(spark_schema, ts_fields: tuple[str, ...] = ("ts",)):
+    """Spark StructType -> pyarrow schema (no JVM needed), with
+    timestamp fields pinned to naive us (values are UTC; the Spark
+    session tz is UTC everywhere in this repo)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    sch = to_arrow_schema(spark_schema)
+    for name in ts_fields:
+        if name in sch.names:
+            i = sch.get_field_index(name)
+            sch = sch.set(i, pa.field(name, pa.timestamp("us")))
+    return sch
+
+
+def _naive_ts(rows: list[dict]) -> list[dict]:
+    out = []
+    for r in rows:
+        ts = r.get("ts")
+        if ts is not None and ts.tzinfo is not None:
+            r = dict(r, ts=ts.replace(tzinfo=None))
+        out.append(r)
+    return out
+
+
+def ensure_fixture_cache(n_convs: int) -> str:
+    """Write (if absent) the pure-Python fixture parquet set for
+    ``n_convs`` conversations; returns the cache dir. Idempotent and
+    atomic: a concurrent/killed writer leaves only a tmp dir."""
+    d = cache_dir(n_convs)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .core import extract_turn
+    from .fixtures import generate_transcripts
+    from .schemas import (
+        BLOCKS_LONG_SCHEMA,
+        EXTRACTED_SPANS_SCHEMA,
+        NODES_LONG_SCHEMA,
+        TRANSCRIPT_SCHEMA,
+    )
+    from .stages import _block_to_row
+
+    rows, _ = generate_transcripts(seed=SEED, n_convs=n_convs,
+                                   whale_cap=WHALE_CAP)
+    ordered = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+
+    # one extract_turn per row feeds spans AND the blocks/nodes long
+    # tables (same decomposition as oracle.extract_rows + the exploded
+    # Spark stages, single pass)
+    spans: list[dict] = []
+    blocks_rows: list[dict] = []
+    nodes_rows: list[dict] = []
+    for r in ordered:
+        key = (r["conv_id"], r["turn_idx"])
+        res = extract_turn(f"{key[0]}|{key[1]}", r.get("text"))
+        spans.append(
+            {
+                "conv_id": key[0],
+                "turn_idx": key[1],
+                "role": r.get("role"),
+                "ts": r.get("ts"),
+                "kind": res["kind"],
+                "extracted_text": res["extracted_text"],
+                "tables": res["tables"],
+                "forms": res["forms"],
+                "counters": res["counters"],
+            }
+        )
+        for b in res["blocks"]:
+            br = _block_to_row(b)
+            br["conv_id"], br["turn_idx"] = key
+            blocks_rows.append(br)
+        for nd in res["nodes"]:
+            nr = dict(nd)
+            nr["conv_id"], nr["turn_idx"] = key
+            nodes_rows.append(nr)
+
+    tmp = d + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    def write(name: str, data: list[dict], spark_schema) -> None:
+        sch = _arrow_schema(spark_schema)
+        tbl = pa.Table.from_pylist(_naive_ts(data), schema=sch)
+        pq.write_table(tbl, os.path.join(tmp, name))
+
+    write("transcripts.parquet", ordered, TRANSCRIPT_SCHEMA)
+    write("spans.parquet", spans, EXTRACTED_SPANS_SCHEMA)
+    write("blocks.parquet", blocks_rows, BLOCKS_LONG_SCHEMA)
+    write("nodes.parquet", nodes_rows, NODES_LONG_SCHEMA)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(f"{FIXTURE_VERSION} seed={SEED} n_convs={n_convs} "
+                f"whale_cap={WHALE_CAP}\n")
+    try:
+        os.replace(tmp, d)
+    except OSError:
+        # concurrent writer won the rename race — its content is
+        # identical by determinism; keep theirs
+        import shutil
+
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return d

@@ -1,15 +1,22 @@
-"""✂ Extraction-pipeline queries (SURVEY.md §2.A/§2.D) — the flagship
-path over the north-rule transcript table. Not SQL-expressible (DuckDB
-cannot parse HTML/layout), so the driver records rows-only checks;
-per-turn equality is instead proven against the single-node oracle in
-tests/test_spark_pipeline.py.
+"""Extraction-pipeline queries (SURVEY.md §2.A/§2.D) — the flagship
+path over the north-rule transcript table.
 
-Input is the deterministic fixture transcript table (seed=42) — the
-sandbox stand-in for the production Iceberg transcripts table. The
-corpus size scales with the driver's sf knob (VERDICT r1: the flagship
-path must exercise the same scale factor as everything else): sf0.01 →
-40 conversations (the round-1 shape), sf0.1 → 400, always seed-42
-deterministic.
+Since round 3 the fixture corpus is COMMITTED, not per-query-generated
+(VERDICT r2 item 4): the deterministic (seed=42) transcripts live in a
+pure-Python parquet cache (``fixture_cache``), the Spark extraction
+stages run ONCE per (seed, sf) and commit ``extracted_spans`` /
+``blocks_long`` / ``nodes_long`` via TableIO (manifest resume, bucketed
+by conv_id), and every query below reads the committed table. The same
+cache also holds the single-node-oracle outputs, which the DuckDB twins
+in ``registry.ORACLE_SQL`` read via ``read_parquet`` — so most of these
+queries are now full-oracle (★), pinning Spark extraction ==
+pure-Python reference extraction on every driver round. The two that
+remain rows-only (✂) are genuinely non-SQL: ``x_nodes_density_relational``
+(density constants + DOM reconstruction) and ``x_turn_dedup_within``
+(difflib sequence matching).
+
+Corpus size scales with the driver's sf knob (VERDICT r1): sf0.01 → 40
+conversations, sf0.1 → 400, always seed-42 deterministic.
 """
 
 from __future__ import annotations
@@ -19,13 +26,13 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fixtures import generate_transcripts, rows_to_pandas
-from ..schemas import TRANSCRIPT_SCHEMA
+from ..fixture_cache import ensure_fixture_cache, table_path
+from ..sources.tableio import TableIO
 from ..stages import extract_blocks_long, extract_nodes_long, extract_spans
 
 _CONVS_PER_SF = 4000  # sf0.01 → 40 convs
 _MIN_CONVS = 8
-_WHALE_CAP = 120
+_FIXTURE_CFG = "xfixture-v3"
 
 
 def n_convs_for(sf_dir: str) -> int:
@@ -38,16 +45,59 @@ def n_convs_for(sf_dir: str) -> int:
 
 
 def fixture_transcripts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
-    rows, _ = generate_transcripts(
-        seed=42, n_convs=n_convs_for(sf_dir), whale_cap=_WHALE_CAP
+    """The committed north-rule input table (seed-42, sf-scaled)."""
+    n = n_convs_for(sf_dir)
+    ensure_fixture_cache(n)
+    return spark.read.parquet(table_path(n, "transcripts"))
+
+
+def _fixture_io(n_convs: int) -> tuple[TableIO, str]:
+    import os
+
+    from ..fixture_cache import cache_dir
+
+    return (
+        TableIO(os.path.join(cache_dir(n_convs), "warehouse")),
+        f"fixture-seed42-n{n_convs}",
     )
-    return spark.createDataFrame(rows_to_pandas(rows), schema=TRANSCRIPT_SCHEMA)
+
+
+def _committed(spark: SparkSession, sf_dir: str, name: str, stage_fn,
+               **commit_kw) -> DataFrame:
+    """Run a Spark extraction stage over the fixture transcripts ONCE
+    per (seed, sf) and commit it via TableIO (manifest resume); every
+    caller afterwards reads the committed parquet. This is the
+    production shape too: extraction is a committed pipeline stage, and
+    serving queries read the table, not the UDF."""
+    n = n_convs_for(sf_dir)
+    io, snapshot = _fixture_io(n)
+    if not io.is_committed(name, snapshot, _FIXTURE_CFG):
+        io.commit_stage(
+            stage_fn(fixture_transcripts(spark, sf_dir)), name, snapshot,
+            _FIXTURE_CFG, **commit_kw,
+        )
+    return io.read_table(spark, name)
+
+
+def fixture_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _committed(spark, sf_dir, "extracted_spans", extract_spans,
+                      bucket_col="conv_id", n_buckets=8)
+
+
+def fixture_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _committed(spark, sf_dir, "blocks_long", extract_blocks_long,
+                      bucket_col="conv_id", n_buckets=8)
+
+
+def fixture_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _committed(spark, sf_dir, "nodes_long", extract_nodes_long,
+                      bucket_col="conv_id", n_buckets=8)
 
 
 def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction: per-turn main text + span counts,
     stable (conv_id, turn_idx) order."""
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     return spans.select(
         "conv_id",
         "turn_idx",
@@ -61,7 +111,7 @@ def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_extract_tables_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/C3 — table-to-CSV artifacts: one row per reconstructed table."""
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     tb = spans.select(
         "conv_id", "turn_idx", F.posexplode("tables").alias("table_idx", "tbl")
     )
@@ -79,7 +129,7 @@ def x_extract_tables_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_extract_forms_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/C4 — form key-value artifacts (case-insensitive key lookup is
     a filter on this view)."""
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     kv = spans.select(
         "conv_id", "turn_idx", F.posexplode("forms").alias("kv_idx", "kv")
     )
@@ -96,7 +146,7 @@ def x_extract_forms_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_counters_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — lineage counters rolled up per payload kind."""
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     return spans.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum("counters.blocks_parsed").cast("long").alias("blocks_parsed"),
@@ -109,7 +159,7 @@ def x_counters_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_blocks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded blocks table census (B2 type filter over the long form)."""
-    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
+    blocks = fixture_blocks(spark, sf_dir)
     return blocks.groupBy("block_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -121,7 +171,7 @@ def x_nodes_density_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused path is asserted in tests/test_relational_nodes.py."""
     from ..core.htmldom import MAX_LINK_DENSITY, MIN_CONTENT_CHARS
 
-    nodes = extract_nodes_long(fixture_transcripts(spark, sf_dir))
+    nodes = fixture_nodes(spark, sf_dir)
     text_nodes = nodes.filter(F.col("tag") == "#text")
     blocks = text_nodes.groupBy("conv_id", "turn_idx", "block_id").agg(
         F.min("node_id").alias("ord"),
@@ -161,7 +211,7 @@ def x_nodes_density_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_point_lookup_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 over extracted_spans: one conversation, stable turn order."""
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     return (
         spans.filter(F.col("conv_id") == "conv00000003")
         .select("conv_id", "turn_idx", "kind", "extracted_text")
@@ -174,7 +224,7 @@ def x_search_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, deterministic top-25."""
     from .serving import tokenize
 
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     toks = tokenize(spans, "extracted_text", ["conv_id", "turn_idx"])
     return (
         toks.groupBy("term")
@@ -189,7 +239,7 @@ def x_doc_text_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality with the fused path proven in tests/test_blocks_relational."""
     from .blocks_relational import document_text_relational
 
-    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
+    blocks = fixture_blocks(spark, sf_dir)
     return document_text_relational(blocks).orderBy("conv_id", "turn_idx")
 
 
@@ -197,7 +247,7 @@ def x_tables_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6/B9 as Catalyst dataflow: dense-grid fill + CSV quoting in SQL."""
     from .blocks_relational import tables_relational
 
-    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
+    blocks = fixture_blocks(spark, sf_dir)
     return tables_relational(blocks).orderBy("conv_id", "turn_idx", "table_id")
 
 
@@ -205,7 +255,7 @@ def x_kv_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10 as Catalyst dataflow: VALUE-edge join + two B4 aggregations."""
     from .blocks_relational import kv_relational
 
-    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
+    blocks = fixture_blocks(spark, sf_dir)
     return kv_relational(blocks).orderBy("conv_id", "turn_idx", "key")
 
 
@@ -215,7 +265,7 @@ def x_geometry_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; plus a containment predicate (top half of the page)."""
     from pyspark.sql import Window
 
-    blocks = extract_blocks_long(fixture_transcripts(spark, sf_dir))
+    blocks = fixture_blocks(spark, sf_dir)
     lines = blocks.filter(F.col("block_type") == "LINE")
     w = Window.partitionBy("conv_id", "turn_idx", "page").orderBy(
         F.col("geometry.top"), F.col("geometry.left")
@@ -235,7 +285,7 @@ def x_role_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction yield per (role, tool) — the conversational-agent twin
     of the reference's per-document job metadata queries."""
     tdf = fixture_transcripts(spark, sf_dir)
-    spans = extract_spans(tdf)
+    spans = fixture_spans(spark, sf_dir)
     joined = spans.join(
         tdf.select("conv_id", "turn_idx", "tool"), on=["conv_id", "turn_idx"]
     )
@@ -252,7 +302,7 @@ def x_turn_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas; per-group sequential logic)."""
     from .dedup import turn_dedup_within_conv
 
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     flagged = turn_dedup_within_conv(spans)
     return flagged.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
@@ -270,7 +320,7 @@ def c3_table_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed-42 fixture at every sf."""
     from .serving import c3_fetch_table
 
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     return c3_fetch_table(spans, "conv00000000", 2, 1)
 
 
@@ -280,7 +330,7 @@ def c4_form_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted KV spans ('Amount' exists in conv00000000 at every sf)."""
     from .serving import c4_fetch_form_value
 
-    spans = extract_spans(fixture_transcripts(spark, sf_dir))
+    spans = fixture_spans(spark, sf_dir)
     return c4_fetch_form_value(spans, "conv00000000", "  aMoUnT ")
 
 
