@@ -89,9 +89,9 @@ def test_identical_docs_are_exact_dedups_job(spark, skew_dir):
 
 
 def test_simhash_pairs_hamming_probe_and_cap(spark, skew_dir):
-    """SimHash pair mining: hamming-ball probe finds near-dup pairs,
-    exact Jaccard verification kills fingerprint coincidences, and the
-    hot-fingerprint cap drops the identical-doc flood."""
+    """SimHash pair mining: 64-bit banded candidates find near-dup
+    pairs, exact Jaccard verification kills fingerprint coincidences,
+    and the hot-band-bucket cap drops the identical-doc flood."""
     from amazon_textract_enhancer_spark.operators.dedup import dedup_simhash_pairs
 
     got = {
