@@ -23,6 +23,10 @@ from .blocks import (
 from .csvutil import render_csv, parse_csv
 from .extract import extract_turn, _empty_result
 
+# public package API for a fresh skipped-turn result (ADVICE r2: don't
+# publish an underscore-prefixed name in __all__)
+make_empty_result = _empty_result
+
 __all__ = [
     "sniff_kind",
     "parse_html_nodes",
@@ -42,5 +46,5 @@ __all__ = [
     "render_csv",
     "parse_csv",
     "extract_turn",
-    "_empty_result",
+    "make_empty_result",
 ]

@@ -15,7 +15,6 @@ the Spark plan is unchanged.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession

