@@ -218,6 +218,51 @@ def conv_length(rng: random.Random, scale: float) -> int:
     return max(1000, int(50 * scale))
 
 
+def generate_conversation(
+    rng: random.Random,
+    conv_idx: int,
+    scale: float = 1.0,
+    whale_cap: int | None = None,
+    with_goldens: bool = True,
+) -> tuple[list[dict], list[dict]]:
+    """One conversation's (rows, goldens) from the given rng — the
+    shared kernel of the sequential small-sf generator and the
+    per-conv-seeded distributed generator."""
+    conv_id = f"conv{conv_idx:08d}"
+    n_turns = conv_length(rng, scale)
+    if whale_cap is not None:
+        n_turns = min(n_turns, whale_cap)
+    role_off = rng.randint(0, 2)
+    rows: list[dict] = []
+    goldens: list[dict] = []
+    for t in range(n_turns):
+        role = _ROLES[(t + role_off) % 3]
+        p = rng.random()
+        if p < 0.5:
+            text, golden = _gen_html(rng)
+        elif p < 0.8:
+            text, golden = _gen_layout(rng)
+        else:
+            text, golden = _gen_plain(rng)
+        tool = rng.choice(_TOOLS) if role == "tool" else None
+        ts = _EPOCH + timedelta(seconds=conv_idx * 3600 + t * 7)
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": tool,
+                "ts": ts,
+            }
+        )
+        if with_goldens:
+            golden["conv_id"] = conv_id
+            golden["turn_idx"] = t
+            goldens.append(golden)
+    return rows, goldens
+
+
 def generate_transcripts(
     seed: int = 42,
     n_convs: int = 20,
@@ -231,38 +276,64 @@ def generate_transcripts(
     rows: list[dict] = []
     goldens: list[dict] = []
     for i in range(n_convs):
-        conv_id = f"conv{i:08d}"
-        n_turns = conv_length(rng, scale)
-        if whale_cap is not None:
-            n_turns = min(n_turns, whale_cap)
-        role_off = rng.randint(0, 2)
-        for t in range(n_turns):
-            role = _ROLES[(t + role_off) % 3]
-            p = rng.random()
-            if p < 0.5:
-                text, golden = _gen_html(rng)
-            elif p < 0.8:
-                text, golden = _gen_layout(rng)
-            else:
-                text, golden = _gen_plain(rng)
-            tool = rng.choice(_TOOLS) if role == "tool" else None
-            ts = _EPOCH + timedelta(seconds=i * 3600 + t * 7)
-            rows.append(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": t,
-                    "role": role,
-                    "text": text,
-                    "tool": tool,
-                    "ts": ts,
-                }
-            )
-            if with_goldens:
-                golden["conv_id"] = conv_id
-                golden["turn_idx"] = t
-                goldens.append(golden)
+        r, g = generate_conversation(rng, i, scale, whale_cap, with_goldens)
+        rows.extend(r)
+        goldens.extend(g)
     rng.shuffle(rows)  # never pre-sorted (F5 is the pipeline's job)
     return rows, goldens
+
+
+def generate_transcripts_distributed(
+    spark,
+    n_convs: int,
+    seed: int = 42,
+    scale: float = 1.0,
+    whale_cap: int | None = None,
+):
+    """The sf>=1 generation path: per-conversation seeded rngs
+    (``Random(f"{seed}|{conv_idx}")``) inside one mapInArrow stage over
+    ``spark.range(n_convs)`` — generation is embarrassingly parallel,
+    partition-count agnostic (each conv depends only on its own index),
+    and never materializes on the driver. A 100-TB fixture corpus is a
+    ``spark.range`` width change.
+
+    NOTE: per-conv seeding necessarily produces a DIFFERENT (equally
+    deterministic) corpus than the sequential single-rng generator the
+    oracle-checked small-sf fixture uses — the two must not be mixed
+    within one sf. ``extraction_queries.fixture_transcripts`` switches
+    to this path above _DISTRIBUTED_GEN_MIN_CONVS, where no single-node
+    oracle exists anyway."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from .schemas import TRANSCRIPT_SCHEMA
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(TRANSCRIPT_SCHEMA)
+        names = [f.name for f in arrow_schema]
+        for rb in batches:
+            out: list[dict] = []
+            for i in rb.column(0).to_pylist():
+                rng = random.Random(f"{seed}|{i}")
+                rows, _ = generate_conversation(
+                    rng, i, scale, whale_cap, with_goldens=False
+                )
+                out.extend(rows)
+            arrays = [
+                pa.array([r[n] for r in out], arrow_schema.field(n).type)
+                for n in names
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    # a handful of convs per task: whale conversations make generation
+    # time per conv heavy-tailed, so small partitions level the load
+    n_parts = max(8, n_convs // 64)
+    return spark.range(0, n_convs, numPartitions=n_parts).mapInArrow(
+        gen, TRANSCRIPT_SCHEMA
+    )
 
 
 def rows_to_pandas(rows: list[dict]):

@@ -44,11 +44,33 @@ def n_convs_for(sf_dir: str) -> int:
     return max(_MIN_CONVS, int(round(sf * _CONVS_PER_SF)))
 
 
+# above this corpus size, generation itself goes distributed (per-conv
+# seeded rngs; no single-node oracle exists at that scale anyway)
+_DISTRIBUTED_GEN_MIN_CONVS = 1000
+
+
 def fixture_transcripts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
-    """The committed north-rule input table (seed-42, sf-scaled)."""
+    """The committed north-rule input table (seed-42, sf-scaled).
+
+    sf <= 0.25 (n_convs <= 1000): pure-Python cache shared with the
+    DuckDB oracle twins. Above that: distributed per-conv-seeded
+    generation committed ONCE via TableIO (VERDICT r2 item 4's sf>=1
+    path — no driver-side generation anywhere)."""
     n = n_convs_for(sf_dir)
-    ensure_fixture_cache(n)
-    return spark.read.parquet(table_path(n, "transcripts"))
+    if n <= _DISTRIBUTED_GEN_MIN_CONVS:
+        ensure_fixture_cache(n)
+        return spark.read.parquet(table_path(n, "transcripts"))
+    from ..fixture_cache import WHALE_CAP
+    from ..fixtures import generate_transcripts_distributed
+
+    io, snapshot = _fixture_io(n)
+    if not io.is_committed("transcripts", snapshot, _FIXTURE_CFG):
+        io.commit_stage(
+            generate_transcripts_distributed(spark, n, whale_cap=WHALE_CAP),
+            "transcripts", snapshot, _FIXTURE_CFG,
+            bucket_col="conv_id", n_buckets=16,
+        )
+    return io.read_table(spark, "transcripts")
 
 
 def _fixture_io(n_convs: int) -> tuple[TableIO, str]:

@@ -116,3 +116,27 @@ def test_extract_plan_shape(transcripts_df):
     plan = extract_spans(transcripts_df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") == 1
     assert "Exchange" not in plan  # extraction is shuffle-free
+
+
+def test_distributed_generator_partition_agnostic(spark):
+    """The sf>=1 generation path: per-conv-seeded mapInArrow generation
+    is deterministic and independent of partition count (each conv
+    derives only from its own index)."""
+    from amazon_textract_enhancer_spark.fixtures import (
+        generate_transcripts_distributed,
+    )
+
+    a = generate_transcripts_distributed(spark, 48, whale_cap=60).orderBy(
+        "conv_id", "turn_idx"
+    ).collect()
+    b = generate_transcripts_distributed(spark, 48, whale_cap=60).repartition(
+        7
+    ).orderBy("conv_id", "turn_idx").collect()
+    assert len(a) > 100
+    assert a == sorted(b, key=lambda r: (r["conv_id"], r["turn_idx"]))
+    # all three payload kinds present and extractable
+    from amazon_textract_enhancer_spark.stages import extract_spans
+
+    df = generate_transcripts_distributed(spark, 48, whale_cap=60)
+    kinds = {r["kind"] for r in extract_spans(df).select("kind").distinct().collect()}
+    assert kinds == {"html", "layout", "plain"}
