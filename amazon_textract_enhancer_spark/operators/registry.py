@@ -115,6 +115,7 @@ SPARK_QUERIES = {
     # of ORACLE_SQL; rows-only ✂ queries get the determinism check)
     "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # ✂
     "ann_ivf_topk": similarity.ann_ivf_topk,  # ✂
+    "ann_knn_join": similarity.ann_knn_join,
     "x_role_tool_stats": xq.x_role_tool_stats,
     "x_blocks_by_type": xq.x_blocks_by_type,
     "x_point_lookup_conv": xq.x_point_lookup_conv,
@@ -368,6 +369,22 @@ ORACLE_SQL = {
                round(list_dot_product(a.uv, b.uv), 6) AS cos_sim
         FROM u a JOIN u b ON a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.45
+    """,
+    "ann_knn_join": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_dot_product(e.v, q.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 5
     """,
     "embed_norm_by_label": """
         WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -250,6 +250,47 @@ def ann_lsh_bucketed(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+KNN_JOIN_QUERIES = 5  # vec_id 0..4 form the query set
+KNN_JOIN_K = 5
+
+
+def ann_knn_join(spark: SparkSession, sf_dir: str,
+                 n_queries: int = KNN_JOIN_QUERIES,
+                 k: int = KNN_JOIN_K) -> DataFrame:
+    """k-NN JOIN (★): exact top-k neighbors for EACH vector in a query
+    set — the batch-retrieval shape (RAG context fetch, eval-set
+    nearest-neighbor audits), not the single-query ann_cosine_topk.
+
+    Plan: the query side is filtered and BROADCAST (a query batch is
+    <<1M rows in practice; the corpus side streams through one
+    BroadcastNestedLoopJoin), ranking is a window per query_id +
+    rank<=k filter. At 10^12 corpus rows this is one full scan per
+    query BATCH — constant in the number of queries, which is the point
+    of the join form; for sub-scan latency the same query set probes
+    the committed IVF index instead (ann_ivf_topk's path)."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sim = F.round(
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embed_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column aggregate: avg L2 norm per label (oracle-checked)."""
     emb = t(spark, sf_dir, "embeddings").select(
