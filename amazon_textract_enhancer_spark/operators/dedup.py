@@ -113,7 +113,17 @@ def dedup_ngram_jaccard(
     10^12-row scale the posting-list array for a mega-hot shingle is
     itself the skew risk — there the hot list comes from a committed
     shingle-DF stats table and is anti-joined BEFORE grouping; the
-    in-query form accepts the bounded array (fixture max df << cap)."""
+    in-query form accepts the bounded array (fixture max df << cap).
+
+    ORACLE-PARITY CONTRACT (ADVICE r2): the DuckDB twin has NO df cap,
+    so parity holds only while the fixture's max shingle df stays far
+    below SHINGLE_DF_CAP — tests/test_simhash64.py pins a 10x margin so
+    a testdata change cannot silently break the hash compare. Note also
+    that the cap interacts with the Jaccard denominator: sizes come
+    from FULL posting lists while intersections only see under-cap
+    shingles, so a pair sharing many over-cap shingles would be
+    UNDERCOUNTED (conservative: drops, never fabricates) — by design,
+    since ultra-common shingles carry no near-dup signal."""
     docs = t(spark, sf_dir, "documents")
     sh = _shingles(docs)
     grouped = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))

@@ -116,6 +116,8 @@ SPARK_QUERIES = {
     "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # ✂
     "ann_ivf_topk": similarity.ann_ivf_topk,  # ✂
     "ann_knn_join": similarity.ann_knn_join,
+    "sample_stratified": textstats.sample_stratified,
+    "text_tfidf_topk": serving.text_tfidf_topk,
     "x_role_tool_stats": xq.x_role_tool_stats,
     "x_blocks_by_type": xq.x_blocks_by_type,
     "x_point_lookup_conv": xq.x_point_lookup_conv,
@@ -385,6 +387,26 @@ ORACLE_SQL = {
                                          ORDER BY cos_sim DESC, vec_id) AS rn
             FROM scored
         ) WHERE rn <= 5
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < CASE WHEN lang = 'en' THEN '80' ELSE '1a' END
+    """,
+    "text_tfidf_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+        ), hits AS (
+            SELECT doc_id, term FROM toks
+            WHERE term IN ('spark', 'merge', 'window')
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2
+        ), dft AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+        ), n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, round(sum(tf.tf * ln(n.n * 1.0 / dft.df)), 4) AS score
+        FROM tf JOIN dft USING (term), n
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
     """,
     "embed_norm_by_label": """
         WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)

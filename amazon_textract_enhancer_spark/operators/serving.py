@@ -223,3 +223,34 @@ SERVING_SQL = {
 def run_serving_query(spark: SparkSession, name: str, **params) -> DataFrame:
     """Execute a SERVING_SQL template with engine-bound parameters."""
     return spark.sql(SERVING_SQL[name], args=params or None)
+
+
+TFIDF_TERMS = ("spark", "merge", "window")
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """C5 tier (iii) — tf-idf ranked retrieval (★): upgrade of the raw
+    tf ranking in c5_search_rank_topk. idf = ln(N / df(term)) joins the
+    (tiny, broadcastable) per-term document frequencies against the
+    per-doc term frequencies; score = Σ tf·idf, rounded BEFORE the
+    ranking so cross-engine ties are impossible. N enters the plan as a
+    1-row aggregate cross-joined in (no driver-side count). At corpus
+    scale df/idf come from the committed tokens table (pipeline stage
+    3) instead of being recomputed — same expressions, different scan."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", ["doc_id"]).filter(
+        F.col("term").isin(*TFIDF_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.log(F.col("n") / F.col("df")).alias("idf")
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

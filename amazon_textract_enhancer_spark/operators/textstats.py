@@ -106,3 +106,20 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_est.cast("int").alias("n_char_est"),
         F.greatest(chunks, char_est).cast("int").alias("n_bpe_est"),
     )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based STRATIFIED SAMPLING (★) — the
+    training-data curation primitive: per-stratum keep rates driven by
+    a content-stable md5 bucket, so the sample is reproducible across
+    runs, engines and partitionings (no RNG state, no seed plumbing —
+    df.sample() is neither cross-engine nor stable under repartition).
+    Here: keep ~50% of 'en' docs (hex bucket < '80') and ~10% of
+    everything else (< '1a'). At 10^12 rows this is a map-side filter —
+    no shuffle, no driver involvement; changing rates is a literal
+    edit. The md5 bucket doubles as a persistent holdout split: the
+    same doc always lands on the same side."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("1a"))
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source", "n_chars")

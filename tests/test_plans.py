@@ -114,3 +114,37 @@ def test_dedup_jaccard_reuses_grouped_exchange(spark):
     df.collect()  # AQE finalizes reuse only on execution
     plan = executed_plan(df)
     assert "ReusedExchange" in plan or plan.count("Scan parquet") <= 1, plan
+
+
+def test_knn_join_broadcasts_query_batch(spark):
+    """The k-NN join must broadcast the query batch (corpus side
+    streams; one scan per batch) and rank inside the plan."""
+    df = _q(spark, "ann_knn_join")
+    plan = executed_plan(df)
+    assert "Broadcast" in plan, plan
+    assert "Window" in plan, plan
+    assert "CollectLimit" not in plan
+
+
+def test_x_queries_read_committed_fixture_not_udf(spark):
+    """VERDICT r2 item 4: downstream x_* queries read the committed
+    extracted_spans table — their plans are parquet scans + relational
+    ops with NO Python evaluation node (extraction ran once at commit
+    time, not per query)."""
+    for name in ("x_counters_rollup", "x_extract_tables_csv",
+                 "c3_table_fetch", "c4_form_fetch"):
+        plan = executed_plan(_q(spark, name))
+        assert "Scan parquet" in plan, (name, plan)
+        for udf_node in ("MapInArrow", "BatchEvalPython", "ArrowEvalPython"):
+            assert udf_node not in plan, (name, udf_node)
+
+
+def test_simhash_pairs_single_doc_scan_per_branch(spark):
+    """64-bit simhash pair mining stays expression-level: banded
+    candidate generation + verify run from grouped exchanges (no
+    Python nodes anywhere in the plan)."""
+    df = _q(spark, "dedup_simhash_pairs")
+    plan = executed_plan(df)
+    for udf_node in ("MapInArrow", "BatchEvalPython", "ArrowEvalPython",
+                     "FlatMapCoGroupsInPandas"):
+        assert udf_node not in plan, udf_node
