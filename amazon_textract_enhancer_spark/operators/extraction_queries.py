@@ -10,9 +10,8 @@ by conv_id), and every query below reads the committed table. The same
 cache also holds the single-node-oracle outputs, which the DuckDB twins
 in ``registry.ORACLE_SQL`` read via ``read_parquet`` — so most of these
 queries are now full-oracle (★), pinning Spark extraction ==
-pure-Python reference extraction on every driver round. The two that
-remain rows-only (✂) are genuinely non-SQL: ``x_nodes_density_relational``
-(density constants + DOM reconstruction) and ``x_turn_dedup_within``
+pure-Python reference extraction on every driver round. The one that
+remains rows-only (✂) is genuinely non-SQL: ``x_turn_dedup_within``
 (difflib sequence matching).
 
 Corpus size scales with the driver's sf knob (VERDICT r1): sf0.01 → 40

@@ -4,9 +4,8 @@ SPARK_QUERIES: name → (spark, sf_dir) → DataFrame.
 ORACLE_SQL:    name → DuckDB ANSI SQL twin with byte-identical aliases.
 
 Names missing from ORACLE_SQL are the ✂ operators (MinHash LSH,
-SimHash, plane-hash/IVF ANN, HLL sketch, map fns, difflib turn dedup,
-the DOM-density relational twin) — engine-specific hashing or
-non-SQL-expressible logic; the driver records rows-only checks and the
+SimHash, plane-hash/IVF ANN, HLL sketch, map fns, difflib turn
+dedup) — engine-specific hashing or non-SQL-expressible logic; the driver records rows-only checks and the
 pytest suite carries their correctness (oracle golden equality,
 algebraic invariants, recall gates). Since r3 the flagship ``x_*``
 extraction queries DO have twins: DuckDB reads the pure-Python
@@ -123,7 +122,7 @@ SPARK_QUERIES = {
     "x_point_lookup_conv": xq.x_point_lookup_conv,
     "x_search_tokens_topk": xq.x_search_tokens_topk,
     "x_sniff_kind_census": xq.x_sniff_kind_census,
-    "x_nodes_density_relational": xq.x_nodes_density_relational,  # ✂
+    "x_nodes_density_relational": xq.x_nodes_density_relational,
     "x_turn_dedup_within": xq.x_turn_dedup_within,  # ✂
     "agg_distinct_users": rel.agg_distinct_users,
     "win_frame_moving_avg": rel.win_frame_moving_avg,
@@ -688,6 +687,30 @@ ORACLE_SQL = {
             FROM read_parquet('{_XSPANS}')
         ) WHERE term <> ''
         GROUP BY term ORDER BY tf DESC, term LIMIT 25
+    """,
+    # the D3/D4 relational twin as SQL over the NODE table cache:
+    # same density rule (constants from core.htmldom: MIN_CONTENT_CHARS
+    # = 25, MAX_LINK_DENSITY = 0.35), same two-level ordered concat
+    "x_nodes_density_relational": f"""
+        WITH blocks AS (
+            SELECT conv_id, turn_idx, block_id,
+                   min(node_id) AS ord,
+                   sum(n_chars) + count(*) - 1 AS n_chars,
+                   sum(n_link_chars) AS n_link_chars,
+                   max(CASE WHEN in_dropped THEN 1 ELSE 0 END) = 1 AS in_dropped,
+                   max(CASE WHEN in_table THEN 1 ELSE 0 END) = 1 AS in_table,
+                   string_agg(text, ' ' ORDER BY node_id) AS block_text
+            FROM read_parquet('{_xcache_path(_XN_SF001, "nodes")}')
+            WHERE tag = '#text'
+            GROUP BY 1, 2, 3
+        )
+        SELECT conv_id, turn_idx,
+               string_agg(block_text, chr(10) ORDER BY ord) AS extracted_text
+        FROM blocks
+        WHERE NOT in_dropped AND NOT in_table
+          AND n_chars >= 25
+          AND n_link_chars * 1.0 / n_chars <= 0.35
+        GROUP BY 1, 2
     """,
     # kind == sniff_kind(text) for every row incl. empty payloads
     # (extract_turn's empty path defaults to 'plain', same as sniff)
