@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
-    DoubleType,
     FloatType,
     IntegerType,
     StringType,
