@@ -137,6 +137,20 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
 
+    # 3) round-3 operators — measured the same way but kept OUT of the
+    # headline total so BENCH_rN totals stay comparable across rounds
+    extra: dict[str, float] = {}
+    for name in ("dedup_simhash_pairs", "dedup_simhash", "ann_knn_join",
+                 "text_tfidf_topk", "sample_stratified"):
+        fn = SPARK_QUERIES[name]
+
+        def run(fn=fn):
+            _force(fn(spark, SF_DIR))
+
+        med, spr = _median3(run)
+        extra[name] = round(med, 3)
+        spread[name] = round(spr, 3)
+
     # scaling-efficiency evidence (the north rule's two-cluster-size
     # criterion): report the latest bench_scaling.py result inline so
     # each round's BENCH_r{N}.json carries the protocol + numbers.
@@ -170,6 +184,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_extra_r3": extra,
                 "queries_spread_max_minus_min": spread,
                 "timing_protocol": "median of 3 reps per query; spread = max-min",
                 "sf": sf,
