@@ -602,3 +602,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("members"),
     )
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step (★): apply the cluster drop list
+    — every doc whose CC label is not itself is a duplicate of its
+    cluster keeper and is anti-joined away; survivors are the training
+    corpus. One broadcast anti-join against the (tiny) drop list; at
+    10^12 rows the drop list is a committed table and this is a
+    map-side bloom/anti join on the scan."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    drops = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    docs = t(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

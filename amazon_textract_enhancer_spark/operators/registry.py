@@ -117,6 +117,8 @@ SPARK_QUERIES = {
     "ann_knn_join": similarity.ann_knn_join,
     "sample_stratified": textstats.sample_stratified,
     "text_tfidf_topk": serving.text_tfidf_topk,
+    "pack_context_windows": textstats.pack_context_windows,
+    "dedup_survivors": dedup.dedup_survivors,
     "x_role_tool_stats": xq.x_role_tool_stats,
     "x_blocks_by_type": xq.x_blocks_by_type,
     "x_point_lookup_conv": xq.x_point_lookup_conv,
@@ -139,6 +141,44 @@ SPARK_QUERIES = {
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+
+# shared recursive-CTE block: near-dup pair graph (3-gram jaccard >=
+# 0.8) → transitive closure → min-label per vertex. Used by the
+# dedup_components and dedup_survivors twins.
+_CC_LABELS_CTE = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, {_TOK} AS L FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(L) >= 3
+                      THEN list_transform(generate_series(1, len(L) - 2),
+                                           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
+                      ELSE [] END) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS label
+        FROM reach GROUP BY src
+    )
+"""
 
 ORACLE_SQL = {
     "b2_filter_scan_pushdown": """
@@ -314,43 +354,28 @@ ORACLE_SQL = {
         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
     """,
     # iterative Spark label propagation vs recursive-CTE transitive
-    # closure — same pair graph as dedup_ngram_jaccard
-    "dedup_components": f"""
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, {_TOK} AS L FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(CASE WHEN len(L) >= 3
-                          THEN list_transform(generate_series(1, len(L) - 2),
-                                               i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
-                          ELSE [] END) AS shingle
-            FROM toks
-        ), sizes AS (
-            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-        ), inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), pairs AS (
-            SELECT doc_a, doc_b FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
-        ), edges AS (
-            SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs
-        ), reach AS (
-            SELECT a AS src, b AS dst FROM edges
-            UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        ), labels AS (
-            SELECT src AS doc_id, least(src, min(dst)) AS label
-            FROM reach GROUP BY src
-        )
+    # closure — same pair graph as dedup_ngram_jaccard (shared CTE
+    # block _CC_LABELS_CTE, also used by dedup_survivors)
+    "dedup_components": _CC_LABELS_CTE + """
         SELECT label AS keep_id, CAST(count(*) AS BIGINT) AS n_docs,
                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
         FROM labels GROUP BY label
+    """,
+    # the dedup pipeline's final step: drop every non-keeper member
+    "dedup_survivors": _CC_LABELS_CTE + """
+        SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> label)
+    """,
+    "pack_context_windows": f"""
+        WITH c AS (
+            SELECT doc_id, lang,
+                   len(list_filter({_TOK}, x -> x <> '')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                           - n_tokens) / 512.0) AS BIGINT) AS window_id
+        FROM c
     """,
     "ann_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

