@@ -61,3 +61,34 @@ def test_committed_spans_resume_no_reextraction(spark, monkeypatch):
     )
     n2 = xq.fixture_spans(spark, SF_DIR).count()
     assert n1 == n2 == 900
+
+
+def test_fixture_transcripts_distributed_branch(spark, monkeypatch, tmp_path):
+    """Above the size threshold, fixture_transcripts must generate
+    DISTRIBUTED (per-conv-seeded mapInArrow) and commit via TableIO,
+    resuming from the manifest on the second call — no driver-side
+    generation. Exercised with a lowered threshold + isolated cache
+    root so the real small-sf cache is untouched."""
+    from amazon_textract_enhancer_spark.operators import extraction_queries as xq
+
+    monkeypatch.setattr(fc, "CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(xq, "_DISTRIBUTED_GEN_MIN_CONVS", 30)
+
+    df1 = xq.fixture_transcripts(spark, SF_DIR)  # n=40 > 30 → distributed
+    n1 = df1.count()
+    assert n1 > 300
+    assert sorted(df1.columns) == sorted(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    # committed via TableIO: manifest present, second call resumes
+    io, snapshot = xq._fixture_io(40)
+    assert io.is_committed("transcripts", snapshot, xq._FIXTURE_CFG)
+
+    def boom(*a, **k):
+        raise AssertionError("re-generated despite committed manifest")
+
+    monkeypatch.setattr(
+        "amazon_textract_enhancer_spark.fixtures"
+        ".generate_transcripts_distributed", boom,
+    )
+    assert xq.fixture_transcripts(spark, SF_DIR).count() == n1
