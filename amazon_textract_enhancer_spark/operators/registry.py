@@ -119,6 +119,7 @@ SPARK_QUERIES = {
     "text_tfidf_topk": serving.text_tfidf_topk,
     "pack_context_windows": textstats.pack_context_windows,
     "dedup_survivors": dedup.dedup_survivors,
+    "mm_image_stats": multimodal.mm_image_stats,
     "x_role_tool_stats": xq.x_role_tool_stats,
     "x_blocks_by_type": xq.x_blocks_by_type,
     "x_point_lookup_conv": xq.x_point_lookup_conv,
@@ -501,6 +502,31 @@ ORACLE_SQL = {
         WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
         SELECT doc_id, CAST(unnest(generate_series(0, nb % 8)) AS INT) AS frame_idx
         FROM b
+    """,
+    # REAL PNG decode check: Spark round-trips actual PNG bytes
+    # (encode → decode → channel means); the twin computes the same
+    # means straight from the deterministic pixel formula, so any
+    # decoder bug (filter math, stride, channel order) fails the hash
+    "mm_image_stats": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(doc_id % 5 + 2 AS INT) AS width,
+                   CAST(doc_id % 3 + 2 AS INT) AS height
+            FROM documents
+        ), e AS (
+            SELECT doc_id, width, height,
+                   unnest(generate_series(0, width * height * 3 - 1)) AS i
+            FROM dims
+        ), v AS (
+            SELECT doc_id, width, height, i % 3 AS c,
+                   (doc_id * 131 + i * 17) % 256 AS val
+            FROM e
+        )
+        SELECT doc_id, width, height,
+               round(avg(CASE WHEN c = 0 THEN val END), 4) AS mean_r,
+               round(avg(CASE WHEN c = 1 THEN val END), 4) AS mean_g,
+               round(avg(CASE WHEN c = 2 THEN val END), 4) AS mean_b
+        FROM v GROUP BY 1, 2, 3
     """,
     "win_frame_moving_avg": """
         SELECT event_id, user_id,

@@ -1,0 +1,76 @@
+"""Pure-stdlib PNG codec (round 3): exhaustive round-trip over the
+filter × color-type matrix, hypothesis fuzz on pixels and on malformed
+byte streams, and the decode seam's non-PNG behavior."""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from amazon_textract_enhancer_spark.core.png import decode_png, encode_png
+
+_CH = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_filter_matrix(color_type, filter_type):
+    rng = random.Random(color_type * 10 + filter_type)
+    w, h = rng.randint(1, 12), rng.randint(1, 12)
+    px = bytes(rng.randrange(256) for _ in range(w * h * _CH[color_type]))
+    data = encode_png(w, h, px, color_type=color_type, filter_type=filter_type)
+    assert decode_png(data) == (w, h, _CH[color_type], px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_roundtrip_fuzz_rgb(w, h, ft, seed):
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert decode_png(encode_png(w, h, px, filter_type=ft)) == (w, h, 3, px)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=400))
+def test_decoder_never_crashes_on_garbage(data):
+    """Arbitrary bytes after the PNG magic must raise a clean error
+    (ValueError / zlib.error / struct.error) or decode to a
+    size-consistent result — never silent nonsense."""
+    try:
+        w, h, ch, px = decode_png(b"\x89PNG\r\n\x1a\n" + data)
+    except (ValueError, zlib.error, struct.error):
+        return
+    assert len(px) == w * h * ch
+
+
+def test_truncated_stream_raises():
+    good = encode_png(4, 3, bytes(range(36)), filter_type=4)
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # chopped inside IHDR chunk
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png(good[: len(good) // 2])  # chopped inside IDAT
+
+
+def test_bad_signature_raises():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+
+def test_decode_seam_rejects_non_png():
+    from amazon_textract_enhancer_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+    w, h, ch, px = decode_image_pixels(encode_png(2, 2, bytes(12)))
+    assert (w, h, ch) == (2, 2, 3) and px == bytes(12)
