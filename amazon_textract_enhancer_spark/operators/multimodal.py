@@ -195,3 +195,97 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInArrow(fn, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("duration_ms", DoubleType(), False),
+        StructField("rms", DoubleType(), False),
+    ]
+)
+
+WAV_SCHEMA = StructType(
+    [StructField("doc_id", LongType(), False),
+     StructField("payload", BinaryType(), False)]
+)
+
+
+def decode_audio_samples(payload: bytes) -> tuple[int, int, list]:
+    """REAL audio decode for WAV/PCM16 (core/wav.py, pure struct).
+    Compressed audio (MP3/AAC) raises — the disclosed stub seam."""
+    from ..core.wav import decode_wav
+
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "compressed-audio decode requires libav; not available here"
+    )
+
+
+def synth_wav_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): a REAL mono 16-bit WAV per doc
+    from deterministic samples s(i) = ((doc_id·7 + i·13) mod 4096) −
+    2048 at sample_rate = 8000 + (doc_id mod 3)·4000 and
+    n = doc_id mod 50 + 10 samples."""
+    import pyarrow as pa
+
+    from ..core.wav import encode_wav
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            payloads = []
+            for d in ids:
+                n = d % 50 + 10
+                sr = 8000 + (d % 3) * 4000
+                samples = [((d * 7 + i * 13) % 4096) - 2048 for i in range(n)]
+                payloads.append(encode_wav(sr, 1, samples))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInArrow(fn, WAV_SCHEMA)
+
+
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ REAL audio decode + feature extraction (the WAV sibling of
+    mm_image_stats): encode actual RIFF/PCM bytes in one stage, decode
+    + compute duration and RMS amplitude in the next; the DuckDB twin
+    computes both from the sample formula, so a header-offset or
+    endianness bug in the decoder fails the value hash."""
+    import math
+
+    import pyarrow as pa
+
+    payloads = synth_wav_payloads(t(spark, sf_dir, "documents"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            blobs = rb.column(1).to_pylist()
+            srs, ns, durs, rmss = [], [], [], []
+            for blob in blobs:
+                sr, ch, samples = decode_audio_samples(blob)
+                n = len(samples) // ch
+                srs.append(sr)
+                ns.append(n)
+                durs.append(round(n * 1000.0 / sr, 4))
+                rmss.append(round(
+                    math.sqrt(sum(s * s for s in samples) / len(samples)), 4
+                ))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(srs, pa.int32()),
+                    pa.array(ns, pa.int32()),
+                    pa.array(durs, pa.float64()),
+                    pa.array(rmss, pa.float64()),
+                ],
+                names=[f.name for f in AUDIO_STATS_SCHEMA.fields],
+            )
+
+    return payloads.mapInArrow(fn, AUDIO_STATS_SCHEMA)

@@ -120,6 +120,7 @@ SPARK_QUERIES = {
     "pack_context_windows": textstats.pack_context_windows,
     "dedup_survivors": dedup.dedup_survivors,
     "mm_image_stats": multimodal.mm_image_stats,
+    "mm_audio_stats": multimodal.mm_audio_stats,
     "x_role_tool_stats": xq.x_role_tool_stats,
     "x_blocks_by_type": xq.x_blocks_by_type,
     "x_point_lookup_conv": xq.x_point_lookup_conv,
@@ -526,6 +527,29 @@ ORACLE_SQL = {
                round(avg(CASE WHEN c = 0 THEN val END), 4) AS mean_r,
                round(avg(CASE WHEN c = 1 THEN val END), 4) AS mean_g,
                round(avg(CASE WHEN c = 2 THEN val END), 4) AS mean_b
+        FROM v GROUP BY 1, 2, 3
+    """,
+    # REAL WAV/PCM decode check (core/wav.py) — same pattern as
+    # mm_image_stats: Spark round-trips actual RIFF bytes; the twin
+    # computes duration + RMS straight from the sample formula
+    "mm_audio_stats": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(doc_id % 50 + 10 AS INT) AS n_samples,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n_samples, sample_rate,
+                   unnest(generate_series(0, n_samples - 1)) AS i
+            FROM dims
+        ), v AS (
+            SELECT doc_id, n_samples, sample_rate,
+                   ((doc_id * 7 + i * 13) % 4096) - 2048 AS smp
+            FROM s
+        )
+        SELECT doc_id, sample_rate, n_samples,
+               round(n_samples * 1000.0 / sample_rate, 4) AS duration_ms,
+               round(sqrt(avg(smp * smp * 1.0)), 4) AS rms
         FROM v GROUP BY 1, 2, 3
     """,
     "win_frame_moving_avg": """

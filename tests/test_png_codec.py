@@ -74,3 +74,34 @@ def test_decode_seam_rejects_non_png():
         decode_image_pixels(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
     w, h, ch, px = decode_image_pixels(encode_png(2, 2, bytes(12)))
     assert (w, h, ch) == (2, 2, 3) and px == bytes(12)
+
+
+# ---------------------------------------------------------------- WAV
+def test_wav_roundtrip_and_chunk_walking():
+    import struct as _struct
+
+    from amazon_textract_enhancer_spark.core.wav import decode_wav, encode_wav
+
+    samples = [((i * 13) % 4096) - 2048 for i in range(100)]
+    data = encode_wav(16000, 2, samples)
+    assert decode_wav(data) == (16000, 2, samples)
+    # extra chunk between fmt and data must be skipped (chunk walking)
+    pos = data.index(b"data")
+    extra = b"LIST" + _struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    spliced = data[:pos] + extra + data[pos:]
+    spliced = spliced[:4] + _struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced) == (16000, 2, samples)
+
+
+def test_wav_rejects_unsupported():
+    import pytest as _pytest
+
+    from amazon_textract_enhancer_spark.core.wav import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not riff data here")
+    from amazon_textract_enhancer_spark.operators.multimodal import (
+        decode_audio_samples,
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_audio_samples(b"\xff\xfb mp3-ish frame")
