@@ -289,3 +289,108 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInArrow(fn, AUDIO_STATS_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("duration_ms", DoubleType(), False),
+        StructField("mean_luma", DoubleType(), False),
+    ]
+)
+
+Y4M_SCHEMA = StructType(
+    [StructField("doc_id", LongType(), False),
+     StructField("payload", BinaryType(), False)]
+)
+
+_Y4M_FPS = (25, 1)
+
+
+def decode_video_frames(payload: bytes):
+    """REAL video decode for Y4M (core/y4m.py). Compressed video
+    (H.264/VP9) raises — the disclosed stub seam."""
+    from ..core.y4m import decode_y4m
+
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
+    raise NotImplementedError(
+        "compressed-video decode requires libav; not available here"
+    )
+
+
+def synth_y4m_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): a REAL Y4M clip per doc —
+    4x2 C420 frames, n_frames = doc_id%6+1, luma
+    y(f,i) = (doc_id·37 + f·101 + i·29) mod 256, chroma fixed 128."""
+    import pyarrow as pa
+
+    from ..core.y4m import encode_y4m
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            payloads = []
+            for d in ids:
+                w, h = 4, 2
+                frames = []
+                for f in range(d % 6 + 1):
+                    luma = bytes((d * 37 + f * 101 + i * 29) % 256
+                                 for i in range(w * h))
+                    chroma = bytes([128] * (2 * (w // 2) * (h // 2)))
+                    frames.append(luma + chroma)
+                payloads.append(encode_y4m(w, h, frames, fps=_Y4M_FPS))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInArrow(fn, Y4M_SCHEMA)
+
+
+def mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ REAL video decode + frame feature extraction (the Y4M sibling
+    of mm_image_stats/mm_audio_stats): encode actual YUV4MPEG2 bytes in
+    one stage, parse the stream + average the Y planes in the next; the
+    DuckDB twin computes frame count, duration and mean luma from the
+    pixel formula, so a header-parse or plane-stride bug fails the
+    hash. Completes real in-sandbox decode for all three modalities
+    (PNG image, WAV audio, Y4M video); compressed codecs remain behind
+    the disclosed seam."""
+    import pyarrow as pa
+
+    payloads = synth_y4m_payloads(t(spark, sf_dir, "documents"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            blobs = rb.column(1).to_pylist()
+            ws, hs, nf, durs, lumas = [], [], [], [], []
+            for blob in blobs:
+                w, h, (fn_, fd), frames = decode_video_frames(blob)
+                ys = [b for fr in frames for b in fr[: w * h]]
+                ws.append(w)
+                hs.append(h)
+                nf.append(len(frames))
+                durs.append(round(len(frames) * 1000.0 * fd / fn_, 4))
+                # 5 decimals: every possible mean here is S/(8n), and
+                # 10^5/(8n) avoids exact .5 midpoints for n in 1..6 —
+                # at 4 decimals S odd with n=4 lands on a midpoint where
+                # Python (half-even) and SQL (half-away) disagree
+                lumas.append(round(sum(ys) / len(ys), 5))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(nf, pa.int32()),
+                    pa.array(durs, pa.float64()),
+                    pa.array(lumas, pa.float64()),
+                ],
+                names=[f.name for f in VIDEO_STATS_SCHEMA.fields],
+            )
+
+    return payloads.mapInArrow(fn, VIDEO_STATS_SCHEMA)

@@ -121,6 +121,7 @@ SPARK_QUERIES = {
     "dedup_survivors": dedup.dedup_survivors,
     "mm_image_stats": multimodal.mm_image_stats,
     "mm_audio_stats": multimodal.mm_audio_stats,
+    "mm_video_stats": multimodal.mm_video_stats,
     "x_role_tool_stats": xq.x_role_tool_stats,
     "x_blocks_by_type": xq.x_blocks_by_type,
     "x_point_lookup_conv": xq.x_point_lookup_conv,
@@ -551,6 +552,27 @@ ORACLE_SQL = {
                round(n_samples * 1000.0 / sample_rate, 4) AS duration_ms,
                round(sqrt(avg(smp * smp * 1.0)), 4) AS rms
         FROM v GROUP BY 1, 2, 3
+    """,
+    # REAL Y4M video decode check (core/y4m.py): frame count, duration
+    # and mean luma vs the pixel formula. mean_luma rounds at 5 dp —
+    # see mm_video_stats for the midpoint-rounding rationale
+    "mm_video_stats": """
+        WITH dims AS (
+            SELECT doc_id, CAST(doc_id % 6 + 1 AS INT) AS n_frames
+            FROM documents
+        ), fr AS (
+            SELECT doc_id, n_frames,
+                   unnest(generate_series(0, n_frames - 1)) AS f
+            FROM dims
+        ), px AS (
+            SELECT doc_id, n_frames, f, unnest(generate_series(0, 7)) AS i
+            FROM fr
+        )
+        SELECT doc_id, CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+               n_frames,
+               round(n_frames * 40.0, 4) AS duration_ms,
+               round(avg((doc_id * 37 + f * 101 + i * 29) % 256), 5) AS mean_luma
+        FROM px GROUP BY 1, 4
     """,
     "win_frame_moving_avg": """
         SELECT event_id, user_id,

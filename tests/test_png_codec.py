@@ -105,3 +105,34 @@ def test_wav_rejects_unsupported():
     )
     with _pytest.raises(NotImplementedError):
         decode_audio_samples(b"\xff\xfb mp3-ish frame")
+
+
+# ---------------------------------------------------------------- Y4M
+def test_y4m_roundtrip_and_header_params():
+    from amazon_textract_enhancer_spark.core.y4m import decode_y4m, encode_y4m
+
+    frames = [bytes(((f * 7 + i) % 256) for i in range(4 * 2 + 2 * 2 * 1))
+              for f in range(3)]
+    data = encode_y4m(4, 2, frames, fps=(30, 1))
+    assert decode_y4m(data) == (4, 2, (30, 1), frames)
+    # C444 profile
+    f444 = [bytes(range(48))]
+    d444 = encode_y4m(4, 4, f444, chroma="444")
+    assert decode_y4m(d444)[3] == f444
+
+
+def test_y4m_rejects_malformed():
+    import pytest as _pytest
+
+    from amazon_textract_enhancer_spark.core.y4m import decode_y4m, encode_y4m
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"AVI nonsense")
+    good = encode_y4m(4, 2, [bytes(12)])
+    with _pytest.raises(ValueError):
+        decode_y4m(good[:-3])  # truncated frame
+    from amazon_textract_enhancer_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00\x00\x00\x18ftypmp42 h264-ish")
