@@ -1,12 +1,16 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched stages.
 
-Since round 3, PNG pixel decode is REAL (pure-stdlib codec in
-core/png.py — zlib inflate + scanline unfilter), exercised end-to-end
-by ``mm_image_stats``: encode actual PNG bytes in one stage, decode +
-NumPy feature-extract in the next, oracle-checked against the pixel
-formula in DuckDB. JPEG/audio/video decode remains STUBBED behind the
-same one-function seam (`decode_image_pixels`) — those codecs need
+Since round 3 decode is REAL for all three modalities via pure-stdlib
+codecs in core/: PNG (zlib inflate + scanline unfilter), WAV/PCM16
+(RIFF chunk walk) and Y4M video (YUV4MPEG2 header + planar frames).
+Each is exercised end-to-end by its ``mm_*_stats`` query: encode
+actual container bytes in one Arrow stage, decode + feature-extract in
+the next, oracle-checked against the pixel/sample formula in DuckDB —
+a codec bug fails the driver's value hash. Only COMPRESSED codecs
+(JPEG, MP3/AAC, H.264/VP9) remain behind the disclosed
+NotImplementedError seams (`decode_image_pixels` /
+`decode_audio_samples` / `decode_video_frames`) — they genuinely need
 libs absent from this container; swap the function, keep the plan.
 ``_meta_from_bytes`` stays the deterministic fake-metadata path for
 the metadata-only queries (mirrored 1:1 in their DuckDB oracles).
@@ -71,7 +75,7 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary column → typed metadata via one Arrow-batched mapInPandas
+    """Binary column → typed metadata via one Arrow-batched mapInArrow
     stage (the multimodal feature-extraction shape). documents.text is
     cast to binary as the stand-in payload column."""
     import pyarrow as pa
