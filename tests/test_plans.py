@@ -148,3 +148,13 @@ def test_simhash_pairs_single_doc_scan_per_branch(spark):
     for udf_node in ("MapInArrow", "BatchEvalPython", "ArrowEvalPython",
                      "FlatMapCoGroupsInPandas"):
         assert udf_node not in plan, udf_node
+
+
+def test_mm_codec_chains_are_shuffle_free(spark):
+    """The encode→decode multimodal stats chains are scan → MapInArrow
+    → MapInArrow with ZERO exchanges — per-row independence means
+    nothing may shuffle at any corpus size."""
+    for name in ("mm_image_stats", "mm_audio_stats", "mm_video_stats"):
+        df = _q(spark, name)
+        assert n_exchanges(df) == 0, (name, executed_plan(df))
+        assert "MapInArrow" in executed_plan(df), name
