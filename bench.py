@@ -144,7 +144,9 @@ def main() -> None:
     # headline total so BENCH_rN totals stay comparable across rounds
     extra: dict[str, float] = {}
     for name in ("dedup_simhash_pairs", "dedup_simhash", "ann_knn_join",
-                 "text_tfidf_topk", "sample_stratified"):
+                 "text_tfidf_topk", "sample_stratified", "pack_context_windows",
+                 "dedup_survivors", "mm_image_stats", "mm_audio_stats",
+                 "mm_video_stats"):
         fn = SPARK_QUERIES[name]
 
         def run(fn=fn):
