@@ -159,10 +159,14 @@ def test_cc_unconverged_raises(spark):
     raise, not silently return split clusters."""
     chain = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(chain, "doc_a bigint, doc_b bigint")
+    # max_iters/strict guard the ITERATIVE path (the union-find fast
+    # path is exact in one shot and can't under-converge) — force it
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iters=2)
+        connected_components(df, max_iters=2, single_partition=False)
     # strict=False returns the partial labels instead
-    labels = connected_components(df, max_iters=2, strict=False).collect()
+    labels = connected_components(
+        df, max_iters=2, strict=False, single_partition=False
+    ).collect()
     assert len(labels) == 31
 
 
