@@ -1,0 +1,294 @@
+"""Training-data CURATION operators (round 3): the filter/scrub family
+a large-scale pretraining pipeline runs between extraction and packing.
+
+- ``text_gopher_quality``   — repetition heuristics (Gopher-style
+  duplicate-n-gram / top-bigram rules, Rae et al. 2021, arXiv
+  2112.11446 §A1.1) re-expressed over this corpus's single-line texts.
+- ``text_pii_scrub``        — regex PII redaction (emails / phones /
+  IPv4) with per-doc counts and a scrubbed-content fingerprint.
+- ``decontaminate_ngram_overlap`` — benchmark decontamination: flag
+  corpus docs whose k-token n-grams overlap a held-out eval set
+  (the GPT-3/PaLM 13-gram-overlap recipe, here k=5 on short fixtures).
+- ``embed_quantize_error``  — int8 symmetric per-vector quantization
+  of the embedding column with reconstruction-error stats per label.
+
+Every operator is pure Spark SQL expressions (whole-stage codegen, no
+Python in the hot path) except nothing — there are no UDFs here at
+all — and each has a DuckDB oracle twin in the registry. Scale notes
+live on each docstring; none of these shuffles more than once on a
+per-doc key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import _shingles
+from .io_util import t
+from .serving import TOKEN_PATTERN
+
+# Gopher-style thresholds (arXiv 2112.11446 §A1.1 uses 0.18 for the
+# top-2-gram character fraction; the duplicate-5-gram family uses
+# ~0.15-0.30 by n — we expose one knob per metric)
+TOP_BIGRAM_CHAR_FRAC_MAX = 0.18
+DUP_TRIGRAM_FRAC_MAX = 0.30
+
+# PII patterns — deliberately written WITHOUT backslash escapes
+# (character classes only) so the identical literal is valid in both
+# Java regex (Spark) and RE2 (DuckDB) and survives SQL string quoting.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_PHONE = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_IPV4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+# decontamination: eval-set membership is the md5 first hex digit --
+# ~1/16 of docs act as the held-out benchmark; at production scale the
+# benchmark set is the real eval suites (tiny), which is why the
+# n-gram join below broadcasts it
+DECONTAM_K = 5
+DECONTAM_OVERLAP_MIN = 0.3
+
+
+def _tokens(text_col: str = "text"):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda x: x != ""
+    )
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (★) — the Gopher rules
+    reshaped for this corpus's single-line texts: per doc,
+
+    - ``distinct_token_ratio``  = |distinct tokens| / |tokens|
+    - ``dup_trigram_frac``      = 1 − |distinct 3-grams| / |3-grams|
+    - ``top_bigram_char_frac``  = chars covered by the most frequent
+      word bigram / total chars (Gopher's top-2-gram rule, threshold
+      0.18)
+    - ``flag_repetitive``       = either repetition rule fires
+
+    Plan shape: the array metrics are MAP-SIDE ONLY (split → distinct
+    inside the row, no explode); the top-bigram mode needs a per-
+    (doc, bigram) count, which is ONE shuffle keyed by doc_id+bigram
+    (partial-aggregated map-side, so the exchange carries one row per
+    distinct bigram per doc) and a doc_id-keyed window for the
+    deterministic argmax (count desc, bigram desc). At 10^12 docs both
+    keys are fine-grained — no skew, no driver involvement."""
+    docs = t(spark, sf_dir, "documents")
+    L = _tokens()
+    base = docs.select(
+        "doc_id", F.length("text").alias("nch"), L.alias("L")
+    ).filter(F.size("L") >= 3)
+
+    nt = F.size("L")
+    tris = F.transform(
+        F.sequence(F.lit(1), nt - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("L"), i),
+            F.element_at(F.col("L"), i + 1),
+            F.element_at(F.col("L"), i + 2),
+        ),
+    )
+    arr_metrics = base.select(
+        "doc_id",
+        "nch",
+        nt.cast("int").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("L")) / nt, 4).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(tris)) / F.size(tris), 4
+        ).alias("dup_trigram_frac"),
+    )
+
+    bg = base.select(
+        "doc_id",
+        "nch",
+        F.explode(F.sequence(F.lit(1), nt - 1)).alias("i"),
+        "L",
+    ).select(
+        "doc_id",
+        "nch",
+        F.concat_ws(
+            " ",
+            F.element_at(F.col("L"), F.col("i")),
+            F.element_at(F.col("L"), F.col("i") + 1),
+        ).alias("bg"),
+    )
+    bgc = bg.groupBy("doc_id", "nch", "bg").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("bg").desc()
+    )
+    top = (
+        bgc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.round(F.col("n") * F.length("bg") / F.col("nch"), 4).alias(
+                "top_bigram_char_frac"
+            ),
+        )
+    )
+
+    out = arr_metrics.join(top, "doc_id")
+    flag = (F.col("top_bigram_char_frac") > TOP_BIGRAM_CHAR_FRAC_MAX) | (
+        F.col("dup_trigram_frac") > DUP_TRIGRAM_FRAC_MAX
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
+        "dup_trigram_frac",
+        "top_bigram_char_frac",
+        flag.alias("flag_repetitive"),
+    )
+
+
+def _planted_pii(docs: DataFrame) -> DataFrame:
+    """The fixture corpus carries no PII (word-soup, no digits), so the
+    demo query PLANTS deterministic PII spans first — the same
+    expression exists verbatim in the DuckDB twin, so the oracle
+    compares the scrub, not the plant. The operator under test is
+    ``pii_scrub_cols`` over an arbitrary text column."""
+    plant = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" from 10.0.0.42")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", plant.alias("text"))
+
+
+def pii_scrub_cols(text):
+    """(n_emails, n_phones, n_ips, scrubbed) column bundle for any text
+    expression — count then redact, email → phone → IPv4 (phone runs
+    before IPv4 so dashed numbers are never half-eaten by the dotted
+    pattern; the patterns are disjoint on their anchors regardless).
+    Pure regexp codegen: at 10^12 turns this is a map-only pass."""
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL))
+    scrub1 = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_phones = F.regexp_count(scrub1, F.lit(PII_PHONE))
+    scrub2 = F.regexp_replace(scrub1, PII_PHONE, "<PHONE>")
+    n_ips = F.regexp_count(scrub2, F.lit(PII_IPV4))
+    scrub3 = F.regexp_replace(scrub2, PII_IPV4, "<IP>")
+    return n_emails, n_phones, n_ips, scrub3
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (★): count and redact emails / dashed phone
+    numbers / IPv4 literals per document, emitting counts, the
+    scrubbed length, and an md5 fingerprint of the scrubbed text (the
+    oracle hash-compares the REDACTED CONTENT itself, not just the
+    counts). Fixture PII is planted deterministically (see
+    ``_planted_pii``) because the synthetic corpus has none."""
+    docs = _planted_pii(t(spark, sf_dir, "documents"))
+    n_emails, n_phones, n_ips, scrubbed = pii_scrub_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+        F.length(scrubbed).cast("int").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+def decontaminate_ngram_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = DECONTAM_K,
+    overlap_min: float = DECONTAM_OVERLAP_MIN,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (★): flag training docs sharing
+    k-token n-grams with a held-out eval set — the GPT-3 appendix-C /
+    PaLM recipe (there 8-13 grams; k=5 here because fixture docs are
+    10-99 tokens). Split: docs whose md5(doc_id) starts with '0'
+    (~1/16) ARE the eval set; the rest are the corpus.
+
+    Plan shape: distinct k-gram sets per side via one explode each;
+    the eval side collapses to DISTINCT n-grams and is BROADCAST —
+    real benchmark suites are a few MB of n-grams, so the corpus-side
+    scan never shuffles on content; per-doc totals and hits are
+    doc_id-keyed partial aggs. ``overlap_frac`` = hit n-grams /
+    distinct n-grams; the fixture's planted near-duplicates guarantee
+    a non-trivial contaminated set when a dup pair straddles the
+    split."""
+    docs = t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    bench = docs.filter(is_eval)
+    corpus = docs.filter(~is_eval)
+    bench_ngrams = _shingles(bench, k=k).select("shingle").distinct()
+    corpus_ngrams = _shingles(corpus, k=k)
+    totals = corpus_ngrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams")
+    )
+    hits = (
+        corpus_ngrams.join(F.broadcast(bench_ngrams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_ngrams"), 4)
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("int").alias("n_ngrams"),
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit",
+            frac.alias("overlap_frac"),
+            (frac >= overlap_min).alias("contaminated"),
+        )
+    )
+
+
+def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding QUANTIZATION error audit (★): symmetric
+    per-vector scaling (scale = max|x|, q = round(x/scale·127),
+    x̂ = q·scale/127), reporting per-label vector count, mean per-vector
+    RMSE and the worst absolute reconstruction error. This is the
+    compression every embedding store applies before ANN serving; the
+    audit bounds what it costs. Map-side higher-order expressions per
+    row (transform/aggregate over the array — no explode, no UDF),
+    then ONE label-keyed agg. Per-vector stats are rounded to 6dp
+    BEFORE the cross-vector aggregate so IEEE summation order can't
+    move the oracle hash."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    err = F.transform(
+        v,
+        lambda x: F.abs(
+            x - F.round(x / scale * 127, 0) * scale / 127
+        ),
+    )
+    sq = F.aggregate(
+        err, F.lit(0.0), lambda acc, e: acc + e * e
+    )
+    per_vec = emb.select(
+        "label",
+        F.round(F.sqrt(sq / F.size(v)), 6).alias("rmse"),
+        F.round(F.array_max(err), 6).alias("maxerr"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+        F.round(F.max("maxerr"), 6).alias("max_abs_err"),
+    )

@@ -21,8 +21,8 @@ doubles (l_quantity) are exact and left unrounded.
 
 from __future__ import annotations
 
-from . import dedup, extraction_queries as xq, multimodal, relational as rel
-from . import scale, serving, similarity, textstats
+from . import curation as cur, dedup, extraction_queries as xq, multimodal
+from . import relational as rel, scale, serving, similarity, textstats
 from ..fixture_cache import table_path as _xcache_path
 
 # The driver runs oracle SQL at sf0.01 → n_convs_for("…/sf0.01") = 40.
@@ -141,6 +141,12 @@ SPARK_QUERIES = {
     "unpivot_event_counts": rel.unpivot_event_counts,
     "sketch_approx_distinct": rel.sketch_approx_distinct,  # ✂
     "map_fns_props": rel.map_fns_props,  # ✂
+    # round-3 curation family (positions 80+: outside the driver's
+    # 50-row window by design — pytest oracle-parity carries them)
+    "text_gopher_quality": cur.text_gopher_quality,
+    "text_pii_scrub": cur.text_pii_scrub,
+    "decontaminate_ngram_overlap": cur.decontaminate_ngram_overlap,
+    "embed_quantize_error": cur.embed_quantize_error,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -832,5 +838,132 @@ ORACLE_SQL = {
               FROM read_parquet('{_XSPANS}')
               WHERE conv_id = 'conv00000000')
         WHERE lower(trim(f.key)) = 'amount'
+    """,
+    # ---- round-3 curation family ------------------------------------
+    "text_gopher_quality": f"""
+        WITH toks AS (
+            SELECT doc_id, length(text) AS nch,
+                   list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), base AS (
+            SELECT doc_id, nch, len(L) AS nt, L FROM toks WHERE len(L) >= 3
+        ), arrm AS (
+            SELECT doc_id, nch, CAST(nt AS INT) AS n_tokens,
+                   round(len(list_distinct(L)) * 1.0 / nt, 4)
+                       AS distinct_token_ratio,
+                   round(1.0 - len(list_distinct(list_transform(
+                           generate_series(1, nt - 2),
+                           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])))
+                         * 1.0 / (nt - 2), 4) AS dup_trigram_frac
+            FROM base
+        ), bg AS (
+            SELECT doc_id, nch,
+                   unnest(list_transform(generate_series(1, nt - 1),
+                                          i -> L[i] || ' ' || L[i+1])) AS bg
+            FROM base
+        ), bgc AS (
+            SELECT doc_id, nch, bg, count(*) AS n FROM bg GROUP BY 1, 2, 3
+        ), top AS (
+            SELECT doc_id,
+                   round(n * length(bg) * 1.0 / nch, 4) AS top_bigram_char_frac,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n DESC, bg DESC) AS rn
+            FROM bgc
+        )
+        SELECT a.doc_id, a.n_tokens, a.distinct_token_ratio,
+               a.dup_trigram_frac, t.top_bigram_char_frac,
+               (t.top_bigram_char_frac > {cur.TOP_BIGRAM_CHAR_FRAC_MAX}
+                OR a.dup_trigram_frac > {cur.DUP_TRIGRAM_FRAC_MAX})
+                   AS flag_repetitive
+        FROM arrm a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1
+    """,
+    "text_pii_scrub": f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' call 555-123-4567' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' from 10.0.0.42' ELSE '' END AS text
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{cur.PII_EMAIL}')) AS n_emails,
+                   regexp_replace(text, '{cur.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+            FROM planted
+        ), s2 AS (
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t1, '{cur.PII_PHONE}')) AS n_phones,
+                   regexp_replace(t1, '{cur.PII_PHONE}', '<PHONE>', 'g') AS t2
+            FROM s1
+        ), s3 AS (
+            SELECT doc_id, n_emails, n_phones,
+                   len(regexp_extract_all(t2, '{cur.PII_IPV4}')) AS n_ips,
+                   regexp_replace(t2, '{cur.PII_IPV4}', '<IP>', 'g') AS t3
+            FROM s2
+        )
+        SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+               CAST(n_phones AS INT) AS n_phones, CAST(n_ips AS INT) AS n_ips,
+               CAST(length(t3) AS INT) AS scrubbed_len, md5(t3) AS scrubbed_fp
+        FROM s3
+    """,
+    "decontaminate_ngram_overlap": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
+                   {_TOK} AS L
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, is_eval,
+                   unnest(CASE WHEN len(L) >= 5
+                          THEN list_transform(generate_series(1, len(L) - 4),
+                                i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2]
+                                     || ' ' || L[i+3] || ' ' || L[i+4])
+                          ELSE [] END) AS shingle
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE is_eval
+        ), corpus AS (
+            SELECT doc_id, shingle FROM sh WHERE NOT is_eval
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY 1
+        ), hits AS (
+            SELECT c.doc_id, count(*) AS n_hit
+            FROM corpus c JOIN bench b USING (shingle) GROUP BY 1
+        )
+        SELECT t.doc_id, CAST(t.n_ngrams AS INT) AS n_ngrams,
+               CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+               round(coalesce(h.n_hit, 0) * 1.0 / t.n_ngrams, 4)
+                   AS overlap_frac,
+               round(coalesce(h.n_hit, 0) * 1.0 / t.n_ngrams, 4)
+                   >= {cur.DECONTAM_OVERLAP_MIN} AS contaminated
+        FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    "embed_quantize_error": """
+        WITH s AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), sc AS (
+            SELECT vec_id, label,
+                   greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                       AS scale,
+                   unnest(v) AS x
+            FROM s
+        ), ex AS (
+            SELECT vec_id, label,
+                   abs(x - round(x / scale * 127) * scale / 127) AS err
+            FROM sc
+        ), pv AS (
+            SELECT vec_id, label,
+                   round(sqrt(sum(err * err) / count(*)), 6) AS rmse,
+                   round(max(err), 6) AS maxerr
+            FROM ex GROUP BY 1, 2
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(rmse), 6) AS avg_rmse,
+               round(max(maxerr), 6) AS max_abs_err
+        FROM pv GROUP BY label
     """,
 }

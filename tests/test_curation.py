@@ -1,0 +1,182 @@
+"""Round-3 curation operators: semantic probes on crafted rows (the
+oracle-parity sweep covers the fixture corpus; these pin the BEHAVIOR
+on inputs built to trip each rule) plus plan-shape assertions."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from amazon_textract_enhancer_spark.operators import curation as C
+from amazon_textract_enhancer_spark.plans import (
+    executed_plan,
+    n_broadcast_joins,
+    n_exchanges,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def test_gopher_flags_planted_repetitive_doc(spark, monkeypatch):
+    clean = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    loop = " ".join(["spam ham"] * 20)  # one bigram dominates
+    df = _docs(spark, [clean, loop])
+    monkeypatch.setattr(
+        C, "t", lambda _s, _d, _n: df
+    )
+    out = {r["doc_id"]: r for r in C.text_gopher_quality(spark, SF_DIR).collect()}
+    assert not out[0]["flag_repetitive"]
+    assert out[1]["flag_repetitive"]
+    # the loop doc's top bigram covers most of its chars and its
+    # trigrams are nearly all duplicates
+    assert out[1]["top_bigram_char_frac"] > 0.4
+    assert out[1]["dup_trigram_frac"] > 0.9
+    assert out[0]["dup_trigram_frac"] == 0.0
+    # distinct-token ratio is a true ratio
+    assert 0 < out[1]["distinct_token_ratio"] < out[0]["distinct_token_ratio"] <= 1
+
+
+def test_gopher_single_shuffle_pair_plus_join(spark):
+    """The bigram mode costs one (doc_id, bigram) aggregation, the
+    argmax window and the metrics join — all doc_id-keyed. Assert the
+    exchange count stays at that budget (4: partial-agg exchange,
+    window sort exchange, and the two join sides) so a regression to
+    e.g. a cross join or a global sort shows up here."""
+    df = C.text_gopher_quality(spark, SF_DIR)
+    assert n_exchanges(df) <= 4, executed_plan(df)
+
+
+# ------------------------------------------------------------------ pii
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org, call 123-456-7890 at 10.0.0.1"),
+            (2, "no pii here at all"),
+            (3, "v4 addr 192.168.001.200 twice 192.168.001.201"),
+        ],
+        "doc_id bigint, text string",
+    )
+    n_e, n_p, n_i, scrub = C.pii_scrub_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            n_e.alias("e"),
+            n_p.alias("p"),
+            n_i.alias("i"),
+            scrub.alias("s"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["p"], rows[1]["i"]) == (2, 1, 1)
+    assert rows[1]["s"] == "mail <EMAIL> and <EMAIL>, call <PHONE> at <IP>"
+    assert (rows[2]["e"], rows[2]["p"], rows[2]["i"]) == (0, 0, 0)
+    assert rows[2]["s"] == "no pii here at all"
+    assert rows[3]["i"] == 2 and "<IP> twice <IP>" in rows[3]["s"]
+
+
+def test_pii_scrub_query_is_map_only(spark):
+    """regexp count+replace is pure codegen: the whole query must be
+    scan → project with ZERO exchanges."""
+    df = C.text_pii_scrub(spark, SF_DIR)
+    assert n_exchanges(df) == 0, executed_plan(df)
+    assert df.filter("n_emails > 0").count() > 0  # the plant is live
+
+
+# -------------------------------------------------------------- decontam
+
+
+def test_decontaminate_flags_planted_near_dups(spark):
+    """The fixture corpus plants near-duplicate pairs; any pair that
+    straddles the eval/corpus md5 split must surface as contamination,
+    and every contaminated doc's overlap must be >= the threshold."""
+    out = C.decontaminate_ngram_overlap(spark, SF_DIR)
+    rows = out.collect()
+    contaminated = [r for r in rows if r["contaminated"]]
+    assert len(contaminated) > 0
+    assert all(r["overlap_frac"] >= C.DECONTAM_OVERLAP_MIN for r in contaminated)
+    assert all(
+        r["overlap_frac"] < C.DECONTAM_OVERLAP_MIN
+        for r in rows
+        if not r["contaminated"]
+    )
+    # eval docs themselves never appear in the output
+    eval_ids = {
+        r["doc_id"]
+        for r in out.sparkSession.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0")
+        .collect()
+    }
+    assert eval_ids.isdisjoint({r["doc_id"] for r in rows})
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The eval n-gram set is the small side by construction (real
+    benchmark suites are tiny) — the hit join must be a broadcast, so
+    the corpus-side n-gram scan never shuffles on shingle content."""
+    df = C.decontaminate_ngram_overlap(spark, SF_DIR)
+    assert n_broadcast_joins(df) >= 1, executed_plan(df)
+    plan = executed_plan(df)
+    # exactly ONE shingle-keyed exchange: the tiny eval side's
+    # distinct. A second one would mean the corpus-side n-gram stream
+    # is being shuffled for the join — the regression this guards.
+    shingle_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(shingle" in line
+    )
+    assert shingle_exchanges == 1, plan
+
+
+# -------------------------------------------------------------- quantize
+
+
+def test_quantize_error_bounded_by_step_size(spark):
+    """Symmetric int8: |x - x̂| <= scale/254 + rounding slack for every
+    element, per construction. max_abs_err must respect the bound for
+    the worst (largest-norm) vector; unit-norm-ish fixture embeddings
+    have scale <= 1."""
+    rows = C.embed_quantize_error(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["avg_rmse"] < r["max_abs_err"]
+        assert r["max_abs_err"] <= 1.0 / 254 + 1e-6
+        assert r["n_vecs"] > 0
+
+
+def test_quantize_zero_vector_is_safe(spark):
+    """The 1e-12 scale floor keeps all-zero vectors from dividing by
+    zero: error must be exactly 0, not NaN."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    import amazon_textract_enhancer_spark.operators.curation as cur
+
+    orig = cur.t
+    try:
+        cur.t = lambda _s, _d, _n: df
+        row = cur.embed_quantize_error(spark, SF_DIR).collect()[0]
+    finally:
+        cur.t = orig
+    assert row["avg_rmse"] == 0.0 and row["max_abs_err"] == 0.0
+
+
+def test_quantize_is_single_agg_exchange(spark):
+    """All per-vector math is higher-order expressions in the scan
+    projection; the only shuffle is the label rollup."""
+    df = C.embed_quantize_error(spark, SF_DIR)
+    assert n_exchanges(df) <= 1, executed_plan(df)
