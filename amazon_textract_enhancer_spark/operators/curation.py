@@ -257,6 +257,64 @@ def decontaminate_ngram_overlap(
     )
 
 
+TEMP_ALPHA = 0.5
+TEMP_TARGET_FRAC = 0.5
+
+
+def sample_temperature(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    alpha: float = TEMP_ALPHA,
+    target_frac: float = TEMP_TARGET_FRAC,
+) -> DataFrame:
+    """Temperature RESAMPLING (★) — the multilingual mixing step:
+    per-language sampling weights ∝ n_lang^alpha (alpha<1 upsamples
+    the tail relative to its natural share — the mT5/XLM-R recipe),
+    scaled so the expected kept-row count is ``target_frac``·N, capped
+    at rate 1. Keep decisions are the same md5-bucket device as
+    ``sample_stratified`` (u = first 4 fp hex digits / 65536 < rate):
+    content-stable, reproducible across engines and partitionings.
+
+    Plan shape: ONE tiny per-lang count agg (broadcast back), then a
+    map-side filter over the corpus — at 10^12 docs the rate table is
+    a handful of rows and the corpus pass is scan-shaped. alpha=0.5
+    uses sqrt (IEEE-correctly-rounded in both engines, so the oracle
+    twin is bit-stable); other alphas go through pow."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    root = (
+        (lambda c: F.sqrt(c))
+        if alpha == 0.5
+        else (lambda c: F.pow(c, F.lit(alpha)))
+    )
+    # normalizers via an unpartitioned window over the ALREADY
+    # AGGREGATED per-lang table (a handful of rows), so the corpus is
+    # scanned exactly once — a separate counts.agg() would re-run the
+    # whole count subtree for the totals
+    wall = Window.partitionBy()
+    rates = counts.select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.lit(target_frac) * F.sum("n_l").over(wall)
+             * root(F.col("n_l")) / F.sum(root(F.col("n_l"))).over(wall))
+            / F.col("n_l"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("double")
+        / 65536.0
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("keep_rate"))
+    )
+
+
 def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding QUANTIZATION error audit (★): symmetric
     per-vector scaling (scale = max|x|, q = round(x/scale·127),

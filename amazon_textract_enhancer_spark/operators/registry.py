@@ -147,6 +147,7 @@ SPARK_QUERIES = {
     "text_pii_scrub": cur.text_pii_scrub,
     "decontaminate_ngram_overlap": cur.decontaminate_ngram_overlap,
     "embed_quantize_error": cur.embed_quantize_error,
+    "sample_temperature": cur.sample_temperature,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -941,6 +942,22 @@ ORACLE_SQL = {
                round(coalesce(h.n_hit, 0) * 1.0 / t.n_ngrams, 4)
                    >= {cur.DECONTAM_OVERLAP_MIN} AS contaminated
         FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    "sample_temperature": f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT sum(n_l) AS n_total, sum(sqrt(n_l)) AS z FROM counts
+        ), rates AS (
+            SELECT lang,
+                   least(1.0, ({cur.TEMP_TARGET_FRAC} * n_total * sqrt(n_l)
+                               / z) / n_l) AS rate
+            FROM counts, tot
+        )
+        SELECT d.doc_id, d.lang, round(r.rate, 6) AS keep_rate
+        FROM documents d JOIN rates r USING (lang)
+        WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+               / 65536.0) < r.rate
     """,
     "embed_quantize_error": """
         WITH s AS (

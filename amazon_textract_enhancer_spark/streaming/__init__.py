@@ -238,3 +238,49 @@ def stream_stateful_conv_progress(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+) -> None:
+    """STREAMING exact dedup — the ingest-time twin of the batch
+    ``dedup_exact`` operator: arriving turns are dropped when their
+    content fingerprint (md5 of lower(text)) was already seen within
+    the watermark horizon. ``dropDuplicatesWithinWatermark`` keys the
+    state store by fingerprint and expires entries once the watermark
+    passes (bounded state — the difference between this and a plain
+    ``dropDuplicates``, whose state grows forever on an unbounded
+    stream). Duplicate suppression works across micro-batches AND
+    across availableNow restarts (state lives in the checkpoint);
+    exactly-once sink via the checkpoint as elsewhere.
+
+    At 10^12-turn scale the state store is hash-partitioned by
+    fingerprint across executors; the watermark bounds it to the dup
+    horizon's worth of distinct fingerprints, and the fingerprint is
+    computed map-side before the stateful exchange.
+    """
+    from pyspark.sql import functions as F
+
+    from ..schemas import TRANSCRIPT_SCHEMA
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    deduped = (
+        stream.withColumn("fp", F.md5(F.lower(F.coalesce("text", F.lit("")))))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

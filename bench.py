@@ -147,7 +147,8 @@ def main() -> None:
                  "text_tfidf_topk", "sample_stratified", "pack_context_windows",
                  "dedup_survivors", "mm_image_stats", "mm_audio_stats",
                  "mm_video_stats", "text_gopher_quality", "text_pii_scrub",
-                 "decontaminate_ngram_overlap", "embed_quantize_error"):
+                 "decontaminate_ngram_overlap", "embed_quantize_error",
+                 "sample_temperature"):
         fn = SPARK_QUERIES[name]
 
         def run(fn=fn):

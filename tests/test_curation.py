@@ -180,3 +180,43 @@ def test_quantize_is_single_agg_exchange(spark):
     projection; the only shuffle is the label rollup."""
     df = C.embed_quantize_error(spark, SF_DIR)
     assert n_exchanges(df) <= 1, executed_plan(df)
+
+
+# ---------------------------------------------------------- temperature
+
+
+def test_temperature_upsamples_tail_languages(spark):
+    """alpha=0.5 keep rates must be anti-monotone in language size
+    (smaller langs keep a larger fraction), expected kept total close
+    to target_frac*N, and the keep decision reproducible (same output
+    on a second run)."""
+    out = C.sample_temperature(spark, SF_DIR)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_by_lang = {r["lang"]: r["n"] for r in
+                 docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rate_by_lang = {r["lang"]: r["keep_rate"] for r in rows}
+    langs = sorted(n_by_lang, key=n_by_lang.get)
+    rates = [rate_by_lang[lang] for lang in langs if lang in rate_by_lang]
+    assert rates == sorted(rates, reverse=True)  # smaller lang → higher rate
+    n_total = sum(n_by_lang.values())
+    assert abs(len(rows) - C.TEMP_TARGET_FRAC * n_total) < 0.1 * n_total
+    again = {(r["doc_id"]) for r in C.sample_temperature(spark, SF_DIR).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_temperature_is_broadcast_mapside(spark):
+    """The rate table is broadcast back: exactly ONE lang-keyed
+    exchange in the whole plan — the per-lang count agg (map-side
+    combined, rows = n_langs per task). A second one would mean the
+    corpus is being shuffled for the rate join instead of receiving
+    the broadcast."""
+    df = C.sample_temperature(spark, SF_DIR)
+    assert n_broadcast_joins(df) >= 1, executed_plan(df)
+    plan = executed_plan(df)
+    lang_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(lang" in line
+    )
+    assert lang_exchanges == 1, plan

@@ -98,3 +98,49 @@ def test_stateful_conv_progress_across_restarts(spark, tmp_path):
     for conv, (turns, chars) in want.items():
         assert final.loc[conv, "turns_seen"] == turns, conv
         assert final.loc[conv, "chars_seen"] == chars, conv
+
+
+def test_stream_dedup_exact_across_restarts(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a turn whose text fingerprint was
+    already ingested is suppressed — within a batch, across
+    micro-batches, and across availableNow restarts (state in the
+    checkpoint). New content always passes."""
+    import datetime as dt
+
+    input_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    from amazon_textract_enhancer_spark.streaming import stream_dedup_exact
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+
+    def turns(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    batch1 = [
+        ("c1", 0, "user", "hello world", "", t0),
+        ("c1", 1, "assistant", "hello world", "", t0),  # in-batch dup
+        ("c2", 0, "user", "something else", "", t0),
+    ]
+    turns(batch1).write.mode("append").parquet(input_dir)
+    stream_dedup_exact(spark, input_dir, out, ckpt)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2
+    assert set(r["text"] for r in got1.collect()) == {"hello world", "something else"}
+
+    # run 2: a cross-restart dup (suppressed via checkpointed state)
+    # and one genuinely new turn
+    batch2 = [
+        ("c3", 0, "user", "hello world", "", t0 + dt.timedelta(hours=1)),
+        ("c3", 1, "user", "brand new", "", t0 + dt.timedelta(hours=1)),
+    ]
+    turns(batch2).write.mode("append").parquet(input_dir)
+    stream_dedup_exact(spark, input_dir, out, ckpt)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3
+    texts = sorted(r["text"] for r in got2.collect())
+    assert texts == ["brand new", "hello world", "something else"]
