@@ -315,6 +315,48 @@ def sample_temperature(
     )
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation FUNNEL (★) — the composition proof for the
+    family: corpus → near-dup cluster drop list (``dedup_survivors``)
+    → repetition filter (``text_gopher_quality``) → temperature
+    resample (``sample_temperature``), reported as per-language stage
+    counts (n_docs → n_survivors → n_clean → n_final). Every stage is
+    the already-registered operator function composed UNCHANGED — the
+    point is that the family's outputs are joinable drop/keep lists,
+    exactly how a production curation DAG wires them. Stage predicates
+    are doc_id-keyed left joins; at 10^12 docs each stage list is a
+    committed table and this query is the funnel-audit report every
+    data-curation run ships with."""
+    from .dedup import dedup_survivors
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    surv = dedup_survivors(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("s")
+    )
+    rep = (
+        text_gopher_quality(spark, sf_dir)
+        .filter(F.col("flag_repetitive"))
+        .select("doc_id", F.lit(1).alias("r"))
+    )
+    kept = sample_temperature(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("k")
+    )
+    j = (
+        docs.join(surv, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+    )
+    clean = F.col("s").isNotNull() & F.col("r").isNull()
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce("s", F.lit(0))).cast("long").alias("n_survivors"),
+        F.sum(clean.cast("int")).cast("long").alias("n_clean"),
+        F.sum((clean & F.col("k").isNotNull()).cast("int"))
+        .cast("long")
+        .alias("n_final"),
+    )
+
+
 def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding QUANTIZATION error audit (★): symmetric
     per-vector scaling (scale = max|x|, q = round(x/scale·127),

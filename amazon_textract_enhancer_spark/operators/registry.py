@@ -148,6 +148,7 @@ SPARK_QUERIES = {
     "decontaminate_ngram_overlap": cur.decontaminate_ngram_overlap,
     "embed_quantize_error": cur.embed_quantize_error,
     "sample_temperature": cur.sample_temperature,
+    "curation_funnel": cur.curation_funnel,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -942,6 +943,69 @@ ORACLE_SQL = {
                round(coalesce(h.n_hit, 0) * 1.0 / t.n_ngrams, 4)
                    >= {cur.DECONTAM_OVERLAP_MIN} AS contaminated
         FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    # the funnel twin composes the SAME CTE blocks its Spark side
+    # composes as operator functions: CC labels (shared recursive
+    # block) + gopher repetition flags + temperature keep list
+    "curation_funnel": _CC_LABELS_CTE + f""", gt AS (
+            SELECT doc_id, length(text) AS nch,
+                   list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), gb AS (
+            SELECT doc_id, nch, len(L) AS nt, L FROM gt WHERE len(L) >= 3
+        ), garr AS (
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(list_transform(
+                           generate_series(1, nt - 2),
+                           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])))
+                         * 1.0 / (nt - 2), 4) AS dup_tri
+            FROM gb
+        ), gbg AS (
+            SELECT doc_id, nch,
+                   unnest(list_transform(generate_series(1, nt - 1),
+                                          i -> L[i] || ' ' || L[i+1])) AS bg
+            FROM gb
+        ), gbgc AS (
+            SELECT doc_id, nch, bg, count(*) AS n FROM gbg GROUP BY 1, 2, 3
+        ), gtop AS (
+            SELECT doc_id, round(n * length(bg) * 1.0 / nch, 4) AS topbg,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n DESC, bg DESC) AS rn
+            FROM gbgc
+        ), rep AS (
+            SELECT a.doc_id FROM garr a
+            JOIN gtop t ON a.doc_id = t.doc_id AND t.rn = 1
+            WHERE t.topbg > {cur.TOP_BIGRAM_CHAR_FRAC_MAX}
+               OR a.dup_tri > {cur.DUP_TRIGRAM_FRAC_MAX}
+        ), lc AS (
+            SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+        ), tr AS (
+            SELECT lang,
+                   least(1.0, ({cur.TEMP_TARGET_FRAC}
+                               * (SELECT sum(n_l) FROM lc) * sqrt(n_l)
+                               / (SELECT sum(sqrt(n_l)) FROM lc)) / n_l)
+                       AS rate
+            FROM lc
+        ), keep AS (
+            SELECT d.doc_id FROM documents d JOIN tr USING (lang)
+            WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+                   / 65536.0) < tr.rate
+        ), dup AS (
+            SELECT doc_id FROM labels WHERE doc_id <> label
+        )
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_survivors,
+               CAST(sum(CASE WHEN du.doc_id IS NULL AND r.doc_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+               CAST(sum(CASE WHEN du.doc_id IS NULL AND r.doc_id IS NULL
+                                  AND k.doc_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        FROM documents d
+        LEFT JOIN dup du ON du.doc_id = d.doc_id
+        LEFT JOIN rep r ON r.doc_id = d.doc_id
+        LEFT JOIN keep k ON k.doc_id = d.doc_id
+        GROUP BY d.lang
     """,
     "sample_temperature": f"""
         WITH counts AS (

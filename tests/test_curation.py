@@ -220,3 +220,17 @@ def test_temperature_is_broadcast_mapside(spark):
         if "Exchange hashpartitioning(lang" in line
     )
     assert lang_exchanges == 1, plan
+
+
+def test_curation_funnel_is_monotone(spark):
+    """Stage counts can only shrink: n_docs >= n_survivors >= n_clean
+    >= n_final per language, every stage non-degenerate overall (each
+    filter removes something somewhere, nothing removes everything)."""
+    rows = C.curation_funnel(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r["n_docs"] >= r["n_survivors"] >= r["n_clean"] >= r["n_final"] >= 0
+    tot = {k: sum(r[k] for r in rows)
+           for k in ("n_docs", "n_survivors", "n_clean", "n_final")}
+    assert tot["n_docs"] > tot["n_survivors"]       # dedup dropped someone
+    assert tot["n_clean"] > tot["n_final"] > 0      # sampling dropped someone
