@@ -115,10 +115,22 @@ def main() -> None:
     med, spr, best = _median3(lambda: _force(extract_spans(tdf)))
     queries["x_extract_spans"] = round(med, 3)
     spread["x_extract_spans"] = round(spr, 3)
-    # keep the r1/r2 definition (best-of-reps) for cross-round
-    # comparability of the north-star number; median reported alongside
-    turns_per_sec = round(n_turns / best, 1)
-    turns_per_sec_median = round(n_turns / med, 1)
+
+    # throughput is a rate, and a ~1 s run on 32 cores is fixed-
+    # overhead-dominated (r2/r3 swung ±30% on identical plans), so the
+    # turns/sec NUMBER is measured over a replicated copy of the same
+    # corpus sized to >= 80k turns; the headline-suite timing above
+    # keeps the original corpus for cross-round total comparability
+    rep_factor = max(1, -(-80_000 // max(n_turns, 1)))
+    big = tdf
+    for _ in range(rep_factor - 1):
+        big = big.unionByName(tdf)
+    big = big.repartition(CPUS).cache()
+    n_big = big.count()
+    med_big, _, best_big = _median3(lambda: _force(extract_spans(big)))
+    turns_per_sec = round(n_big / best_big, 1)
+    turns_per_sec_median = round(n_big / med_big, 1)
+    big.unpersist()
     tdf.unpersist()
 
     # 2) headline relational queries — median of 3 (the first run folds
@@ -148,7 +160,7 @@ def main() -> None:
                  "dedup_survivors", "mm_image_stats", "mm_audio_stats",
                  "mm_video_stats", "text_gopher_quality", "text_pii_scrub",
                  "decontaminate_ngram_overlap", "embed_quantize_error",
-                 "sample_temperature"):
+                 "sample_temperature", "curation_funnel"):
         fn = SPARK_QUERIES[name]
 
         def run(fn=fn):
@@ -193,9 +205,19 @@ def main() -> None:
                 "queries": queries,
                 "queries_extra_r3": extra,
                 "queries_spread_max_minus_min": spread,
-                "timing_protocol": "median of 3 reps per query; spread = max-min; extraction_turns_per_sec stays best-of-reps for cross-round comparability",
+                "timing_protocol": (
+                    "median of 3 reps per query; spread = max-min; "
+                    "extraction_turns_per_sec is best-of-reps over the "
+                    "replicated >=80k-turn corpus (r3 change: the "
+                    "previous ~11k-turn/1s measurement was fixed-"
+                    "overhead-dominated and swung ±30% round to round "
+                    "on identical plans; the replicated run reports "
+                    "steady-state engine throughput)"
+                ),
                 "sf": sf,
                 "extraction_turns": n_turns,
+                "extraction_turns_timed": n_big,
+                "extraction_replication_factor": rep_factor,
                 "extraction_turns_per_sec": turns_per_sec,
                 "extraction_turns_per_sec_median": turns_per_sec_median,
                 "cpus": CPUS,
