@@ -5,7 +5,6 @@ availableNow streaming (SURVEY.md §5.3/§5.4).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import functions as F
-
 GOLDEN = os.path.join(
     os.path.dirname(__file__), "goldens", "golden_spans_seed42_n25.parquet"
 )

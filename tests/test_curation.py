@@ -4,8 +4,6 @@ on inputs built to trip each rule) plus plan-shape assertions."""
 
 from __future__ import annotations
 
-import pytest
-
 import pyspark.sql.functions as F
 
 from amazon_textract_enhancer_spark.operators import curation as C

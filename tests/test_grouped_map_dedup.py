@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import functions as F
-
 from amazon_textract_enhancer_spark.operators.dedup import turn_dedup_within_conv
 from amazon_textract_enhancer_spark.schemas import TRANSCRIPT_SCHEMA
 from amazon_textract_enhancer_spark.stages import extract_spans

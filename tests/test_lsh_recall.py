@@ -77,7 +77,6 @@ def test_hot_home_bucket_still_probes(spark, tmp_path_factory):
     lost every pair reachable from a hot home — this test finds 0 pairs
     under that behavior)."""
     import numpy as np
-    from pyspark.sql import functions as F
 
     from amazon_textract_enhancer_spark.operators.similarity import (
         lsh_bucketed_vectors,

@@ -9,7 +9,6 @@ from __future__ import annotations
 from amazon_textract_enhancer_spark.operators import registry
 from amazon_textract_enhancer_spark.plans import (
     executed_plan,
-    formatted_plan,
     n_broadcast_joins,
     n_exchanges,
     pushed_filters,

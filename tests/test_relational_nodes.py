@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 def test_relational_density_equals_fused(spark):
     from amazon_textract_enhancer_spark.operators.extraction_queries import (
-        fixture_transcripts,
         x_extract_spans,
         x_nodes_density_relational,
     )
