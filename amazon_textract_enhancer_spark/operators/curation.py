@@ -315,6 +315,56 @@ def sample_temperature(
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping token-window CHUNKING (★) — the embedding/RAG
+    preprocessing step: each document becomes
+    ceil(max(n−window,0)/stride)+1 chunks of ``window_tokens`` tokens
+    starting every ``stride`` tokens (overlap = window−stride; the
+    final chunk may be short; docs shorter than a window yield exactly
+    one chunk). Pure JVM array expressions — token split, slice per
+    start offset, posexplode — so at 10^12 docs this is a map-side
+    fan-out whose output fans straight into the embedding stage with
+    no shuffle at all. Deterministic chunk ids (doc_id, chunk_idx)."""
+    docs = t(spark, sf_dir, "documents")
+    L = _tokens()
+    base = docs.select("doc_id", L.alias("L")).filter(F.size("L") >= 1)
+    n = F.size("L")
+    n_chunks = (
+        F.greatest(
+            F.ceil((n - F.lit(window_tokens)) / F.lit(stride)).cast("int"),
+            F.lit(0),
+        )
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("L", i * stride + 1, window_tokens)
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        (F.size(F.split(F.col("chunk_text"), " "))).cast("int").alias(
+            "chunk_tokens"
+        ),
+    )
+
+
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation FUNNEL (★) — the composition proof for the
     family: corpus → near-dup cluster drop list (``dedup_survivors``)

@@ -149,6 +149,7 @@ SPARK_QUERIES = {
     "embed_quantize_error": cur.embed_quantize_error,
     "sample_temperature": cur.sample_temperature,
     "curation_funnel": cur.curation_funnel,
+    "chunk_documents": cur.chunk_documents,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -943,6 +944,33 @@ ORACLE_SQL = {
                round(coalesce(h.n_hit, 0) * 1.0 / t.n_ngrams, 4)
                    >= {cur.DECONTAM_OVERLAP_MIN} AS contaminated
         FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    "chunk_documents": f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), base AS (
+            SELECT doc_id, len(L) AS n, L FROM toks WHERE len(L) >= 1
+        ), c AS (
+            SELECT doc_id, n, L,
+                   greatest(CAST(ceil((n - {cur.CHUNK_TOKENS}) * 1.0
+                                      / {cur.CHUNK_STRIDE}) AS INT), 0) + 1
+                       AS n_chunks
+            FROM base
+        ), ex AS (
+            SELECT doc_id, unnest(generate_series(0, n_chunks - 1))
+                       AS chunk_idx, L
+            FROM c
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               array_to_string(
+                   L[chunk_idx * {cur.CHUNK_STRIDE} + 1 :
+                     chunk_idx * {cur.CHUNK_STRIDE} + {cur.CHUNK_TOKENS}],
+                   ' ') AS chunk_text,
+               CAST(len(L[chunk_idx * {cur.CHUNK_STRIDE} + 1 :
+                          chunk_idx * {cur.CHUNK_STRIDE} + {cur.CHUNK_TOKENS}])
+                    AS INT) AS chunk_tokens
+        FROM ex
     """,
     # the funnel twin composes the SAME CTE blocks its Spark side
     # composes as operator functions: CC labels (shared recursive

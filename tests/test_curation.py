@@ -232,3 +232,49 @@ def test_curation_funnel_is_monotone(spark):
            for k in ("n_docs", "n_survivors", "n_clean", "n_final")}
     assert tot["n_docs"] > tot["n_survivors"]       # dedup dropped someone
     assert tot["n_clean"] > tot["n_final"] > 0      # sampling dropped someone
+
+
+# -------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark):
+    """Chunk invariants on the fixture corpus: deterministic
+    (doc_id, chunk_idx) keys starting at 0 with no gaps; every chunk
+    except possibly the last has exactly CHUNK_TOKENS tokens; stride
+    overlap means consecutive chunks share window-stride tokens; and
+    concatenating each chunk's first `stride` tokens plus the final
+    chunk's tail reconstructs the original token stream exactly."""
+    out = C.chunk_documents(spark, SF_DIR).collect()
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()}
+    import re as _re
+    from collections import defaultdict
+
+    by_doc = defaultdict(dict)
+    for r in out:
+        by_doc[r["doc_id"]][r["chunk_idx"]] = r
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        idxs = sorted(chunks)
+        assert idxs == list(range(len(idxs)))
+        toks = [x for x in _re.split("[^a-z0-9]+", docs[doc_id].lower()) if x]
+        rebuilt = []
+        for i in idxs:
+            ct = chunks[i]["chunk_text"].split(" ")
+            assert len(ct) == chunks[i]["chunk_tokens"]
+            if i < idxs[-1]:
+                assert len(ct) == C.CHUNK_TOKENS
+                rebuilt.extend(ct[: C.CHUNK_STRIDE])
+                # overlap: this chunk's tail == next chunk's head
+                nxt = chunks[i + 1]["chunk_text"].split(" ")
+                ov = C.CHUNK_TOKENS - C.CHUNK_STRIDE
+                assert ct[-ov:] == nxt[:ov]
+            else:
+                rebuilt.extend(ct)
+        assert rebuilt == toks, doc_id
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is a map-side fan-out: zero exchanges."""
+    df = C.chunk_documents(spark, SF_DIR)
+    assert n_exchanges(df) == 0, executed_plan(df)
