@@ -96,6 +96,8 @@ class TableIO:
         bucket_col: str | None = None,
         n_buckets: int = 8,
         partition_by: str | None = None,
+        range_col: str | None = None,
+        sort_within: list[str] | None = None,
     ) -> dict:
         """Write ``df`` as stage output ``name``; no-op if the same
         (input_snapshot, config_hash) is already committed (resume).
@@ -107,7 +109,18 @@ class TableIO:
         partition_by: hive-partition the written parquet on this column
         (the sandbox analog of an Iceberg identity partition transform);
         readers filtering on it get static/dynamic partition pruning.
+        range_col: RANGE-partition into ``n_buckets`` shards on this
+        column instead of hash-bucketing (mutually exclusive with
+        bucket_col) — the training-shard export layout: shard k holds a
+        contiguous key range, so the shard sequence is globally ordered
+        and parquet zone maps (min/max stats) prune range scans.
+        sort_within: sort rows inside each written shard on these
+        columns (Iceberg ``write.sort-order`` analog); combined with
+        range_col this gives a totally ordered export without a global
+        sort-merge on read.
         """
+        if bucket_col is not None and range_col is not None:
+            raise ValueError("bucket_col and range_col are mutually exclusive")
         if self.is_committed(name, input_snapshot, config_hash):
             return self.read_manifest(name)  # resume: skip stage
 
@@ -120,6 +133,10 @@ class TableIO:
 
         if bucket_col is not None:
             df = df.repartition(n_buckets, bucket_col)
+        if range_col is not None:
+            df = df.repartitionByRange(n_buckets, range_col)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
 
         nonce = uuid.uuid4().hex[:12]
         tmp = os.path.join(tpath, f".tmp-{nonce}")
@@ -166,8 +183,10 @@ class TableIO:
             "lineage": lineage,
             "committed_at_unix": int(time.time()),
             "bucket_col": bucket_col,
-            "n_buckets": n_buckets if bucket_col else None,
+            "n_buckets": n_buckets if (bucket_col or range_col) else None,
             "partition_by": partition_by,
+            "range_col": range_col,
+            "sort_within": sort_within,
         }
         tmp_manifest = self.manifest_path(name) + ".tmp"
         with open(tmp_manifest, "w") as f:

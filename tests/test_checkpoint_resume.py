@@ -309,3 +309,44 @@ def test_stage_subset_requires_matching_spans_manifest(spark, transcripts_df, tm
     m = run_extraction_pipeline(spark, transcripts_df, warehouse,
                                 stages=["conv_rollup"])
     assert "conv_rollup" in m
+
+
+def test_range_sorted_export_shards(spark, warehouse):
+    """range_col + sort_within commit: shard k holds a contiguous
+    doc_id range (shards are pairwise disjoint and ordered by file
+    name) and rows inside each shard file are sorted — a totally
+    ordered export with no global sort on read. Manifest records the
+    layout; resume semantics unchanged."""
+    import glob
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).repartition(13)  # scrambled input layout
+    io = TableIO(warehouse)
+    m = io.commit_stage(
+        df, "export", "snap1", range_col="doc_id",
+        sort_within=["doc_id"], n_buckets=4,
+    )
+    assert m["range_col"] == "doc_id" and m["sort_within"] == ["doc_id"]
+    assert m["rows"] == 2000 and m["n_buckets"] == 4
+
+    files = sorted(glob.glob(os.path.join(io.data_path("export"), "part-*")))
+    assert len(files) == 4
+    prev_max = -1
+    for fpath in files:
+        ids = [r["doc_id"] for r in spark.read.parquet(fpath).collect()]
+        assert ids == sorted(ids), fpath          # sorted inside shard
+        assert min(ids) > prev_max, fpath          # shards disjoint+ordered
+        prev_max = max(ids)
+
+    # mutually exclusive layouts rejected
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        io.commit_stage(df, "export2", "snap1",
+                        bucket_col="grp", range_col="doc_id")
+
+    # resume: same (snapshot, config) is a no-op returning the manifest
+    m2 = io.commit_stage(df, "export", "snap1", range_col="doc_id",
+                         sort_within=["doc_id"], n_buckets=4)
+    assert m2["committed_at_unix"] == m["committed_at_unix"]
