@@ -150,6 +150,7 @@ SPARK_QUERIES = {
     "sample_temperature": cur.sample_temperature,
     "curation_funnel": cur.curation_funnel,
     "chunk_documents": cur.chunk_documents,
+    "mm_gif_stats": multimodal.mm_gif_stats,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -944,6 +945,37 @@ ORACLE_SQL = {
                round(coalesce(h.n_hit, 0) * 1.0 / t.n_ngrams, 4)
                    >= {cur.DECONTAM_OVERLAP_MIN} AS contaminated
         FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    # GIF twin: recompute channel means straight from the palette and
+    # index formulas synth_gif_payloads encodes — the Spark side gets
+    # them by LZW-decompressing the actual GIF bytes, so the hash pins
+    # the whole compressed-codec path
+    "mm_gif_stats": """
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(doc_id % 5 + 2 AS INT) AS width,
+                   CAST(doc_id % 3 + 2 AS INT) AS height,
+                   CAST(pow(2, doc_id % 3 + 2) AS INT) AS n_colors
+            FROM documents
+        ), px AS (
+            SELECT doc_id, width, height, n_colors,
+                   unnest(generate_series(0, width * height - 1)) AS i
+            FROM p
+        ), rgb AS (
+            SELECT doc_id, width, height, n_colors,
+                   (doc_id*37 + (3*((doc_id*131 + i*17) % n_colors) + 0)*11)
+                       % 256 AS r,
+                   (doc_id*37 + (3*((doc_id*131 + i*17) % n_colors) + 1)*11)
+                       % 256 AS g,
+                   (doc_id*37 + (3*((doc_id*131 + i*17) % n_colors) + 2)*11)
+                       % 256 AS b
+            FROM px
+        )
+        SELECT doc_id, width, height, n_colors,
+               round(avg(r), 4) AS mean_r,
+               round(avg(g), 4) AS mean_g,
+               round(avg(b), 4) AS mean_b
+        FROM rgb GROUP BY 1, 2, 3, 4
     """,
     "chunk_documents": f"""
         WITH toks AS (

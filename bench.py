@@ -160,7 +160,8 @@ def main() -> None:
                  "dedup_survivors", "mm_image_stats", "mm_audio_stats",
                  "mm_video_stats", "text_gopher_quality", "text_pii_scrub",
                  "decontaminate_ngram_overlap", "embed_quantize_error",
-                 "sample_temperature", "curation_funnel", "chunk_documents"):
+                 "sample_temperature", "curation_funnel", "chunk_documents",
+                 "mm_gif_stats"):
         fn = SPARK_QUERIES[name]
 
         def run(fn=fn):

@@ -1,0 +1,104 @@
+"""GIF87a / LZW codec: round-trip fuzz, an INDEPENDENT hand-packed
+LZW vector (so encoder and decoder can't share a symmetric bit-order
+bug), dictionary-growth stress, and hostile-payload rejection."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from amazon_textract_enhancer_spark.core.gif import (
+    decode_gif,
+    encode_gif,
+)
+
+
+def test_round_trip_fuzz_all_palette_sizes():
+    rnd = random.Random(7)
+    for _ in range(60):
+        k = rnd.choice([2, 3, 4, 8])
+        nc = 1 << k
+        w, h = rnd.randint(1, 40), rnd.randint(1, 40)
+        pal = bytes(rnd.randrange(256) for _ in range(3 * nc))
+        idx = bytes(rnd.randrange(nc) for _ in range(w * h))
+        assert decode_gif(encode_gif(w, h, idx, pal)) == (w, h, pal, idx)
+
+
+def test_dictionary_growth_and_width_bumps():
+    """Long runs force the code width from 3 bits up through 12 and a
+    mid-stream dictionary reset; the decoder must track every bump."""
+    idx = bytes([0] * 6000 + [1, 0] * 3000)
+    pal = bytes(range(12))  # 4 colors
+    assert decode_gif(encode_gif(60, 200, idx, pal))[3] == idx
+
+
+def test_decoder_against_hand_packed_lzw_stream():
+    """Build the LZW stream for indices [1, 0, 1] by hand — explicit
+    bit arithmetic, no shared helper — and check the decoder. 4-color
+    palette → min code size 2, CLEAR=4, EOI=5, width starts at 3.
+    Encoder-equivalent code sequence: CLEAR(4), 1, 0, 1, EOI(5);
+    LSB-first packing at width 3 (codes land at bit offsets 0,3,6,9,12):
+      byte0 = 4 | (1 << 3)                    = 12
+      byte1 = (0 >> 5) | (1 << 1) | (5 << 4)  = 82
+    """
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code in (4, 1, 0, 1, 5):
+        acc |= code << nbits
+        nbits += 3
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    assert bytes(out) == bytes([12, 82])  # the docstring arithmetic
+
+    pal = bytes(range(12))
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HH", 3, 1)
+    gif.append(0x80 | 1)  # global table, k=2 → size bits 1
+    gif += b"\x00\x00" + pal
+    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 1) + b"\x00"
+    gif.append(2)  # min code size
+    gif.append(len(out))
+    gif += out
+    gif += b"\x00\x3b"
+    w, h, p2, idx = decode_gif(bytes(gif))
+    assert (w, h) == (3, 1) and p2 == pal and idx == bytes([1, 0, 1])
+
+
+def test_encoder_output_matches_hand_packing_for_tiny_image():
+    """The encoder must produce exactly the hand-derived stream for the
+    same tiny input (same code sequence, same packing)."""
+    pal = bytes(range(12))
+    data = encode_gif(3, 1, bytes([1, 0, 1]), pal)
+    # locate the LZW sub-block: header(6)+lsd(7)+palette(12)+desc(10)+mcs(1)
+    pos = 6 + 7 + 12 + 10 + 1
+    blen = data[pos]
+    assert data[pos + 1:pos + 1 + blen] == bytes([12, 82])
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"NOTGIF" + b[6:],                      # bad signature
+        lambda b: b[:40],                                  # truncated LZW
+        lambda b: b[:10] + bytes([b[10] & 0x7F]) + b[11:],  # no global table
+    ],
+)
+def test_hostile_payloads_raise_value_error(mutate):
+    pal = bytes(range(12))
+    good = encode_gif(3, 2, bytes([0, 1, 2, 3, 0, 1]), pal)
+    with pytest.raises(ValueError):
+        decode_gif(mutate(good))
+
+
+def test_palette_and_index_validation():
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(2, 2, bytes(4), bytes(9))  # 3 colors: not 2^k
+    with pytest.raises(ValueError, match="index"):
+        encode_gif(2, 2, bytes([0, 0, 0, 7]), bytes(range(12)))  # idx >= nc
