@@ -1,13 +1,46 @@
-"""Minimal pure-stdlib WAV (RIFF PCM) codec — the audio sibling of
-core/png.py. Supports 16-bit signed little-endian PCM, any channel
-count / sample rate, standard RIFF chunk walking (extra chunks like
-LIST/fact are skipped). Compressed formats (MP3/AAC/…) stay behind the
-disclosed stub seam in operators/multimodal.py.
+"""Minimal pure-stdlib WAV (RIFF) codec — the audio sibling of
+core/png.py. Supports 16-bit signed little-endian PCM (format 1) AND
+G.711 µ-law (format 7, 8-bit log-companded — a real compressed
+telephony codec, 2:1, implemented here bit-for-bit per the G.711
+spec). Any channel count / sample rate; standard RIFF chunk walking
+(extra chunks like LIST/fact are skipped). Perceptual codecs (MP3/
+AAC/…) stay behind the disclosed stub seam in operators/multimodal.py.
 """
 
 from __future__ import annotations
 
 import struct
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def mulaw_compress(x: int) -> int:
+    """int16 PCM sample → one G.711 µ-law byte (sign | exponent<<4 |
+    mantissa, all bit-inverted on the wire)."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    if x > _ULAW_CLIP:
+        x = _ULAW_CLIP
+    x += _ULAW_BIAS
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not x & mask:
+        exp -= 1
+        mask >>= 1
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def mulaw_expand(b: int) -> int:
+    """One µ-law byte → reconstructed int16 PCM sample."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    x = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return -x if sign else x
 
 
 def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
@@ -27,9 +60,28 @@ def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_mulaw(sample_rate: int, channels: int,
+                     samples: list[int]) -> bytes:
+    """µ-law-COMPRESS int16 samples into a format-7 RIFF/WAVE stream
+    (8 bits on the wire — half the PCM byte rate)."""
+    if len(samples) % channels:
+        raise ValueError("sample count not divisible by channel count")
+    data = bytes(mulaw_compress(s) for s in samples)
+    byte_rate = sample_rate * channels
+    fmt = struct.pack("<HHIIHH", 7, channels, sample_rate, byte_rate,
+                      channels, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     """→ (sample_rate, channels, interleaved signed 16-bit samples).
-    ValueError on anything outside the 16-bit-PCM profile."""
+    Format 1 (PCM16) is read directly; format 7 (µ-law) is EXPANDED to
+    int16 per G.711. ValueError on anything else."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
@@ -45,13 +97,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
             fmt_code, channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", chunk[:16]
             )
-            if fmt_code != 1 or bits != 16:
+            if (fmt_code, bits) not in ((1, 16), (7, 8)):
                 raise ValueError(f"unsupported format (code={fmt_code}, bits={bits})")
         elif tag == b"data":
             data = chunk
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if fmt_code == 7:
+        return sample_rate, channels, [mulaw_expand(b) for b in data]
     if len(data) % 2:
         raise ValueError("odd PCM byte count")
     samples = list(struct.unpack(f"<{len(data) // 2}h", data))

@@ -320,8 +320,9 @@ WAV_SCHEMA = StructType(
 
 
 def decode_audio_samples(payload: bytes) -> tuple[int, int, list]:
-    """REAL audio decode for WAV/PCM16 (core/wav.py, pure struct).
-    Compressed audio (MP3/AAC) raises — the disclosed stub seam."""
+    """REAL audio decode for RIFF/WAVE (core/wav.py, pure struct):
+    PCM16 read directly, G.711 µ-law (format 7) expanded per spec.
+    Perceptual codecs (MP3/AAC) raise — the disclosed stub seam."""
     from ..core.wav import decode_wav
 
     if payload[:4] == b"RIFF":
@@ -368,6 +369,78 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     payloads = synth_wav_payloads(t(spark, sf_dir, "documents"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            blobs = rb.column(1).to_pylist()
+            srs, ns, durs, rmss = [], [], [], []
+            for blob in blobs:
+                sr, ch, samples = decode_audio_samples(blob)
+                n = len(samples) // ch
+                srs.append(sr)
+                ns.append(n)
+                durs.append(round(n * 1000.0 / sr, 4))
+                rmss.append(round(
+                    math.sqrt(sum(s * s for s in samples) / len(samples)), 4
+                ))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(srs, pa.int32()),
+                    pa.array(ns, pa.int32()),
+                    pa.array(durs, pa.float64()),
+                    pa.array(rmss, pa.float64()),
+                ],
+                names=[f.name for f in AUDIO_STATS_SCHEMA.fields],
+            )
+
+    return payloads.mapInArrow(fn, AUDIO_STATS_SCHEMA)
+
+
+def synth_mulaw_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): a REAL G.711 µ-law WAV (format 7)
+    per doc — same deterministic sample formula as the PCM path
+    (s(i) = ((doc_id·7 + i·13) mod 4096) − 2048), COMPRESSED to 8-bit
+    log-companded bytes on encode."""
+    import pyarrow as pa
+
+    from ..core.wav import encode_wav_mulaw
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            payloads = []
+            for d in ids:
+                n = d % 50 + 10
+                sr = 8000 + (d % 3) * 4000
+                samples = [((d * 7 + i * 13) % 4096) - 2048 for i in range(n)]
+                payloads.append(encode_wav_mulaw(sr, 1, samples))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInArrow(fn, WAV_SCHEMA)
+
+
+def mm_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ COMPRESSED-audio decode: stage 1 µ-law-compresses the formula
+    samples into a real format-7 WAV (G.711, 2:1), stage 2 expands the
+    actual wire bytes back to PCM16 and computes duration + RMS of the
+    RECONSTRUCTED signal. The DuckDB twin recomputes the expected
+    reconstruction through G.711's closed-form quantization (exponent
+    ranges + mantissa + bias, pure integer SQL) — an independent
+    reimplementation of the codec math, so a sign, bias or bit-
+    inversion bug in either direction of the Python codec fails the
+    value hash. Together with GIF/LZW this makes compressed decode
+    real for image AND audio; only perceptual codecs (JPEG/MP3/H.264)
+    remain behind the seam."""
+    import math
+
+    import pyarrow as pa
+
+    payloads = synth_mulaw_payloads(t(spark, sf_dir, "documents"))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:

@@ -151,6 +151,7 @@ SPARK_QUERIES = {
     "curation_funnel": cur.curation_funnel,
     "chunk_documents": cur.chunk_documents,
     "mm_gif_stats": multimodal.mm_gif_stats,
+    "mm_mulaw_stats": multimodal.mm_mulaw_stats,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -976,6 +977,48 @@ ORACLE_SQL = {
                round(avg(g), 4) AS mean_g,
                round(avg(b), 4) AS mean_b
         FROM rgb GROUP BY 1, 2, 3, 4
+    """,
+    # µ-law twin: reimplements G.711's quantization as closed-form
+    # integer SQL (exponent ranges + mantissa + bias) over the original
+    # sample formula — an INDEPENDENT model of compress→expand, so any
+    # bit bug in the Python codec's either direction fails the hash
+    "mm_mulaw_stats": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(doc_id % 50 + 10 AS INT) AS n_samples,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+            FROM documents
+        ), s AS (
+            SELECT doc_id, n_samples, sample_rate,
+                   unnest(generate_series(0, n_samples - 1)) AS i
+            FROM dims
+        ), raw AS (
+            SELECT doc_id, n_samples, sample_rate,
+                   ((doc_id * 7 + i * 13) % 4096) - 2048 AS smp
+            FROM s
+        ), q AS (
+            SELECT doc_id, n_samples, sample_rate, smp,
+                   least(abs(smp), 32635) + 132 AS v
+            FROM raw
+        ), e AS (
+            SELECT doc_id, n_samples, sample_rate, smp, v,
+                   CASE WHEN v < 256 THEN 0 WHEN v < 512 THEN 1
+                        WHEN v < 1024 THEN 2 WHEN v < 2048 THEN 3
+                        WHEN v < 4096 THEN 4 WHEN v < 8192 THEN 5
+                        WHEN v < 16384 THEN 6 ELSE 7 END AS expo
+            FROM q
+        ), d AS (
+            SELECT doc_id, n_samples, sample_rate,
+                   (CASE WHEN smp < 0 THEN -1 ELSE 1 END)
+                   * (((CAST(floor(v / pow(2, expo + 3)) AS BIGINT) % 16)
+                       * 8 + 132) * CAST(pow(2, expo) AS BIGINT) - 132)
+                       AS dec
+            FROM e
+        )
+        SELECT doc_id, sample_rate, n_samples,
+               round(n_samples * 1000.0 / sample_rate, 4) AS duration_ms,
+               round(sqrt(avg(dec * dec * 1.0)), 4) AS rms
+        FROM d GROUP BY 1, 2, 3
     """,
     "chunk_documents": f"""
         WITH toks AS (

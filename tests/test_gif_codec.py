@@ -102,3 +102,65 @@ def test_palette_and_index_validation():
         encode_gif(2, 2, bytes(4), bytes(9))  # 3 colors: not 2^k
     with pytest.raises(ValueError, match="index"):
         encode_gif(2, 2, bytes([0, 0, 0, 7]), bytes(range(12)))  # idx >= nc
+
+
+# ----------------------------------------------------- G.711 mu-law
+
+
+def test_mulaw_byte_space_idempotent_except_negative_zero():
+    """compress(expand(b)) == b for all 256 wire bytes except the
+    G.711 negative-zero alias 0x7F, which decodes to 0 and re-encodes
+    as positive zero 0xFF — the spec's known quirk."""
+    from amazon_textract_enhancer_spark.core.wav import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    assert mulaw_compress(0) == 0xFF and mulaw_expand(0xFF) == 0
+    for b in range(256):
+        got = mulaw_compress(mulaw_expand(b))
+        assert got == b or (b, got) == (0x7F, 0xFF), (b, got)
+
+
+def test_mulaw_quantization_error_bounded():
+    """|x - expand(compress(x))| <= the segment's step size 8·2^exp."""
+    from amazon_textract_enhancer_spark.core.wav import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    rnd = random.Random(3)
+    for _ in range(2000):
+        x = rnd.randint(-32768, 32767)
+        y = mulaw_expand(mulaw_compress(x))
+        step = 8 << max(0, (min(abs(x), 32635) + 132).bit_length() - 8)
+        assert abs(y - max(-32635, min(32635, x))) <= step, (x, y)
+
+
+def test_mulaw_wav_container_round_trip():
+    from amazon_textract_enhancer_spark.core.wav import (
+        decode_wav,
+        encode_wav_mulaw,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    rnd = random.Random(9)
+    samples = [rnd.randint(-32768, 32767) for _ in range(101)]
+    sr, ch, dec = decode_wav(encode_wav_mulaw(11025, 1, samples))
+    assert (sr, ch) == (11025, 1)
+    assert dec == [mulaw_expand(mulaw_compress(s)) for s in samples]
+
+
+def test_wav_rejects_unknown_format_codes():
+    from amazon_textract_enhancer_spark.core.wav import (
+        decode_wav,
+        encode_wav_mulaw,
+    )
+
+    good = encode_wav_mulaw(8000, 1, [0, 100, -100])
+    # flip format code 7 -> 3 (IEEE float, unsupported)
+    bad = good.replace(b"fmt \x10\x00\x00\x00\x07\x00",
+                       b"fmt \x10\x00\x00\x00\x03\x00", 1)
+    with pytest.raises(ValueError, match="unsupported format"):
+        decode_wav(bad)
