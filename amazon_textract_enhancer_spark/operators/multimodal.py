@@ -470,6 +470,107 @@ def mm_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInArrow(fn, AUDIO_STATS_SCHEMA)
 
 
+RLE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("n_colors", IntegerType(), False),
+        StructField("mean_r", DoubleType(), False),
+        StructField("mean_g", DoubleType(), False),
+        StructField("mean_b", DoubleType(), False),
+    ]
+)
+
+
+def synth_avi_rle_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): a REAL RLE8-compressed AVI per
+    doc. Deterministic content the twin can recompute:
+    n_colors = (doc_id%6)·8 + 4 (non-power-of-two palettes included —
+    RLE8 allows any size, unlike GIF), width = doc_id%6+2,
+    height = doc_id%4+2, n_frames = doc_id%3+1,
+    palette byte triples r/g/b(j) = (doc_id·37 + (3j+{0,1,2})·11) mod
+    256, flattened index v(i) = (doc_id·131 + i·19) mod n_colors."""
+    import pyarrow as pa
+
+    from ..core.avirle import encode_avi_rle8
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            payloads = []
+            for d in ids:
+                nc = (d % 6) * 8 + 4
+                w, h, nf = d % 6 + 2, d % 4 + 2, d % 3 + 1
+                pal = bytes((d * 37 + j * 11) % 256 for j in range(3 * nc))
+                flat = bytes((d * 131 + i * 19) % nc
+                             for i in range(nf * w * h))
+                frames = [flat[f * w * h:(f + 1) * w * h] for f in range(nf)]
+                payloads.append(encode_avi_rle8(w, h, frames, pal))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInArrow(fn, PNG_SCHEMA)
+
+
+def mm_video_rle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ COMPRESSED-video decode: stage 1 RLE8-compresses deterministic
+    frames into a real AVI container, stage 2 decodes the actual wire
+    bytes (core/avirle.py: RIFF walk, BGR0 palette, run/absolute/EOL/
+    EOF commands, bottom-up row order) and reports per-doc frame count,
+    palette size and cross-frame RGB channel means. The DuckDB twin
+    recomputes the means from the palette/index formulas, so a row-
+    order, palette-channel-order or run-decoding bug fails the value
+    hash. Means are rounded at 5 decimals: pixel totals can hit 32,
+    and S/32 lands on exact 4-decimal midpoints where Python
+    (half-even) and SQL (half-away) disagree; at 5dp every S/32 is
+    exact and no possible total forms a midpoint."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core.avirle import decode_avi_rle8
+
+    payloads = synth_avi_rle_payloads(t(spark, sf_dir, "documents"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            blobs = rb.column(1).to_pylist()
+            ws, hs, nfs, ncs = [], [], [], []
+            mr, mg, mb = [], [], []
+            for blob in blobs:
+                w, h, palette, frames = decode_avi_rle8(blob)
+                pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+                idx = np.frombuffer(b"".join(frames), dtype=np.uint8)
+                rgb = pal[idx]
+                means = rgb.mean(axis=0)
+                ws.append(w)
+                hs.append(h)
+                nfs.append(len(frames))
+                ncs.append(len(pal))
+                mr.append(round(float(means[0]), 5))
+                mg.append(round(float(means[1]), 5))
+                mb.append(round(float(means[2]), 5))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(nfs, pa.int32()),
+                    pa.array(ncs, pa.int32()),
+                    pa.array(mr, pa.float64()),
+                    pa.array(mg, pa.float64()),
+                    pa.array(mb, pa.float64()),
+                ],
+                names=[f.name for f in RLE_STATS_SCHEMA.fields],
+            )
+
+    return payloads.mapInArrow(fn, RLE_STATS_SCHEMA)
+
+
 VIDEO_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

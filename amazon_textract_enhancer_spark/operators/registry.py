@@ -152,6 +152,7 @@ SPARK_QUERIES = {
     "chunk_documents": cur.chunk_documents,
     "mm_gif_stats": multimodal.mm_gif_stats,
     "mm_mulaw_stats": multimodal.mm_mulaw_stats,
+    "mm_video_rle_stats": multimodal.mm_video_rle_stats,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -977,6 +978,37 @@ ORACLE_SQL = {
                round(avg(g), 4) AS mean_g,
                round(avg(b), 4) AS mean_b
         FROM rgb GROUP BY 1, 2, 3, 4
+    """,
+    # RLE8 twin: recompute cross-frame channel means from the
+    # palette/index formulas; Spark decodes the actual AVI bytes
+    "mm_video_rle_stats": """
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(doc_id % 6 + 2 AS INT) AS width,
+                   CAST(doc_id % 4 + 2 AS INT) AS height,
+                   CAST(doc_id % 3 + 1 AS INT) AS n_frames,
+                   CAST((doc_id % 6) * 8 + 4 AS INT) AS n_colors
+            FROM documents
+        ), px AS (
+            SELECT doc_id, width, height, n_frames, n_colors,
+                   unnest(generate_series(0,
+                          n_frames * width * height - 1)) AS i
+            FROM p
+        ), rgb AS (
+            SELECT doc_id, width, height, n_frames, n_colors,
+                   (doc_id*37 + (3*((doc_id*131 + i*19) % n_colors) + 0)*11)
+                       % 256 AS r,
+                   (doc_id*37 + (3*((doc_id*131 + i*19) % n_colors) + 1)*11)
+                       % 256 AS g,
+                   (doc_id*37 + (3*((doc_id*131 + i*19) % n_colors) + 2)*11)
+                       % 256 AS b
+            FROM px
+        )
+        SELECT doc_id, width, height, n_frames, n_colors,
+               round(avg(r), 5) AS mean_r,
+               round(avg(g), 5) AS mean_g,
+               round(avg(b), 5) AS mean_b
+        FROM rgb GROUP BY 1, 2, 3, 4, 5
     """,
     # µ-law twin: reimplements G.711's quantization as closed-form
     # integer SQL (exponent ranges + mantissa + bias) over the original

@@ -164,3 +164,63 @@ def test_wav_rejects_unknown_format_codes():
                        b"fmt \x10\x00\x00\x00\x03\x00", 1)
     with pytest.raises(ValueError, match="unsupported format"):
         decode_wav(bad)
+
+
+# ------------------------------------------------------- AVI / RLE8
+
+
+def test_avi_rle8_round_trip_fuzz():
+    from amazon_textract_enhancer_spark.core.avirle import (
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+
+    rnd = random.Random(5)
+    for _ in range(40):
+        nc = rnd.choice([2, 4, 16, 200, 256])  # non-power-of-two allowed
+        w, h = rnd.randint(1, 30), rnd.randint(1, 20)
+        nf = rnd.randint(1, 6)
+        pal = bytes(rnd.randrange(256) for _ in range(3 * nc))
+        frames = [bytes(rnd.randrange(nc) for _ in range(w * h))
+                  for _ in range(nf)]
+        got = decode_avi_rle8(encode_avi_rle8(w, h, frames, pal))
+        assert got == (w, h, pal, frames)
+
+
+def test_rle8_decoder_against_hand_packed_stream():
+    """Decode a hand-built RLE8 frame with an ABSOLUTE run (which our
+    encoder never emits) and bottom-up rows — independent of the
+    encoder, so the pair can't share a symmetric bug. 3x2 image:
+      stored first (bottom row, y=1): run 3 of color 5 → [3,5] EOL
+      stored second (top row, y=0): absolute run [0,3,7,8,9,pad] EOL
+      then EOF.
+    Expected top-down indices: [7,8,9, 5,5,5]."""
+    from amazon_textract_enhancer_spark.core.avirle import (
+        _rle8_decode_frame,
+    )
+
+    stream = bytes([3, 5, 0, 0,            # bottom row: 5,5,5 + EOL
+                    0, 3, 7, 8, 9, 0,      # top row: absolute 7,8,9 + pad
+                    0, 0,                  # EOL
+                    0, 1])                 # EOF
+    assert _rle8_decode_frame(3, 2, stream) == bytes([7, 8, 9, 5, 5, 5])
+
+
+def test_rle8_hostile_streams_raise_value_error():
+    from amazon_textract_enhancer_spark.core.avirle import (
+        _rle8_decode_frame,
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+
+    with pytest.raises(ValueError, match="without EOF"):
+        _rle8_decode_frame(2, 2, bytes([2, 1]))  # no terminator
+    with pytest.raises(ValueError, match="delta"):
+        _rle8_decode_frame(2, 2, bytes([0, 2, 1, 1, 0, 1]))
+    with pytest.raises(ValueError, match="row 1 has"):
+        _rle8_decode_frame(3, 2, bytes([2, 9, 0, 0, 3, 9, 0, 0, 0, 1]))
+    good = encode_avi_rle8(3, 2, [bytes(6)], bytes(range(6)))
+    with pytest.raises(ValueError):
+        decode_avi_rle8(good[:30])  # truncated container
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_rle8(b"JUNK" + good[4:])
