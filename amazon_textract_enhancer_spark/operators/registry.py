@@ -4,8 +4,7 @@ SPARK_QUERIES: name → (spark, sf_dir) → DataFrame.
 ORACLE_SQL:    name → DuckDB ANSI SQL twin with byte-identical aliases.
 
 Names missing from ORACLE_SQL are the ✂ operators (MinHash LSH,
-SimHash, plane-hash/IVF ANN, HLL sketch, map fns, difflib turn
-dedup) — engine-specific hashing or non-SQL-expressible logic; the driver records rows-only checks and the
+SimHash, plane-hash/IVF ANN, HLL sketch, difflib turn dedup) — engine-specific hashing or non-SQL-expressible logic; the driver records rows-only checks and the
 pytest suite carries their correctness (oracle golden equality,
 algebraic invariants, recall gates). Since r3 the flagship ``x_*``
 extraction queries DO have twins: DuckDB reads the pure-Python
@@ -140,7 +139,7 @@ SPARK_QUERIES = {
     "cube_status_priority": rel.cube_status_priority,
     "unpivot_event_counts": rel.unpivot_event_counts,
     "sketch_approx_distinct": rel.sketch_approx_distinct,  # ✂
-    "map_fns_props": rel.map_fns_props,  # ✂
+    "map_fns_props": rel.map_fns_props,
     # round-3 curation family (positions 80+: outside the driver's
     # 50-row window by design — pytest oracle-parity carries them)
     "text_gopher_quality": cur.text_gopher_quality,
@@ -978,6 +977,15 @@ ORACLE_SQL = {
                round(avg(g), 4) AS mean_g,
                round(avg(b), 4) AS mean_b
         FROM rgb GROUP BY 1, 2, 3, 4
+    """,
+    # map_fns_props gained a twin in r3: the MAP machinery (from_json →
+    # map<string,string> → map_keys/element_at) is Spark-side, but the
+    # OUTPUT (k_value, n) is plain SQL — json_extract_string matches
+    # element_at's missing-key → NULL semantics
+    "map_fns_props": """
+        SELECT json_extract_string(props, '$.k') AS k_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
     """,
     # RLE8 twin: recompute cross-frame channel means from the
     # palette/index formulas; Spark decodes the actual AVI bytes

@@ -396,9 +396,10 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def map_fns_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """✂ Map functions: JSON → MapType with explicit schema, map_keys /
+    """★ Map functions: JSON → MapType with explicit schema, map_keys /
     element access (SURVEY.md §2.E map fns — exploded-join path is the
-    primary, this covers the map-typed variant)."""
+    primary, this covers the map-typed variant). Twinned since r3:
+    the map machinery is Spark-side, the output is plain SQL."""
     ev = t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return (
