@@ -9,11 +9,13 @@ video (YUV4MPEG2 header + planar frames). Each is exercised end-to-end
 by its ``mm_*_stats`` query: encode actual container bytes in one
 Arrow stage, decode + feature-extract in the next, oracle-checked
 against the pixel/sample formula in DuckDB — a codec bug fails the
-driver's value hash. The codecs that remain behind the disclosed
-NotImplementedError seams (`decode_image_pixels` /
-`decode_audio_samples` / `decode_video_frames`) are JPEG, MP3/AAC and
-H.264/VP9 — DCT/entropy machinery that genuinely needs libs absent
-from this container; swap the function, keep the plan.
+driver's value hash. Baseline JPEG grayscale is also real
+(core/jpeg.py — Huffman entropy decode + IDCT; oracle-exact on
+constant even-valued blocks). The codecs remaining behind the
+disclosed NotImplementedError seams (`decode_image_pixels` /
+`decode_audio_samples` / `decode_video_frames`) are MP3/AAC and
+H.264/VP9 — psychoacoustic/motion-compensation machinery that
+genuinely belongs to a library; swap the function, keep the plan.
 ``_meta_from_bytes`` stays the deterministic fake-metadata path for
 the metadata-only queries (mirrored 1:1 in their DuckDB oracles).
 """
@@ -61,13 +63,15 @@ def _meta_from_bytes(payload: bytes) -> tuple[int, int, int, str]:
 
 
 def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL pixel decode for PNG (round 3): the pure-stdlib codec in
-    core/png.py (zlib inflate + per-scanline unfilter) — no imaging
-    libs needed. → (width, height, channels, interleaved 8-bit bytes).
-    Non-PNG payloads (JPEG/audio/video frames) still raise: those
-    codecs genuinely need libs absent from this container, and the
-    disclosed seam is unchanged — swap this function, keep the plan."""
+    """REAL pixel decode, no imaging libs: PNG (core/png.py — zlib
+    inflate + per-scanline unfilter), GIF87a (core/gif.py — bit-level
+    LZW, palette resolved to RGB) and baseline grayscale JPEG
+    (core/jpeg.py — Huffman entropy decode + IDCT).
+    → (width, height, channels, interleaved 8-bit bytes). Other image
+    payloads raise: the remaining formats genuinely need libs absent
+    from this container — swap this function, keep the plan."""
     from ..core.gif import decode_gif
+    from ..core.jpeg import decode_jpeg_gray
     from ..core.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -80,8 +84,11 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         for i, idx in enumerate(indices):
             rgb[3 * i:3 * i + 3] = palette[3 * idx:3 * idx + 3]
         return w, h, 3, bytes(rgb)
+    if payload[:2] == b"\xff\xd8":
+        w, h, gray = decode_jpeg_gray(payload)
+        return w, h, 1, gray
     raise NotImplementedError(
-        "non-PNG/GIF decode requires PIL/libav; not available in this environment"
+        "non-PNG/GIF/JPEG decode requires PIL/libav; not available here"
     )
 
 
@@ -175,9 +182,9 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual PNG bytes (core/png.py) and NumPy-extracts per-channel
     means. The DuckDB twin computes the same means straight from the
     pixel formula — so a decoder bug (filter math, stride, channel
-    order) breaks the driver's value hash. This closes the r1/r2
-    'decode is stubbed' gap for PNG; JPEG/audio/video remain behind
-    the disclosed NotImplementedError seam."""
+    order) breaks the driver's value hash. This closed the r1/r2
+    'decode is stubbed' gap for PNG; GIF/JPEG/µ-law/RLE8 followed
+    (mm_gif_stats, mm_jpeg_stats, mm_mulaw_stats, mm_video_rle_stats)."""
     import numpy as np
     import pyarrow as pa
 
@@ -468,6 +475,93 @@ def mm_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInArrow(fn, AUDIO_STATS_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_blocks", IntegerType(), False),
+        StructField("mean_gray", DoubleType(), False),
+    ]
+)
+
+
+def synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): a REAL baseline JPEG per doc,
+    built from constant 8×8 blocks of EVEN gray values so the lossy
+    codec is exact (see core/jpeg.py docstring): grid is
+    (doc_id%3+1) × (doc_id%2+1) blocks, block b's value is
+    2·((doc_id·29 + b·13) mod 128)."""
+    import pyarrow as pa
+
+    from ..core.jpeg import encode_jpeg_gray
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            payloads = []
+            for d in ids:
+                bw, bh = d % 3 + 1, d % 2 + 1
+                w, h = bw * 8, bh * 8
+                px = bytearray(w * h)
+                for b in range(bw * bh):
+                    v = 2 * ((d * 29 + b * 13) % 128)
+                    by, bx = divmod(b, bw)
+                    for y in range(8):
+                        row = (by * 8 + y) * w + bx * 8
+                        px[row:row + 8] = bytes([v]) * 8
+                payloads.append(encode_jpeg_gray(w, h, bytes(px)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInArrow(fn, PNG_SCHEMA)
+
+
+def mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ DCT/entropy codec decode: stage 1 encodes a real baseline
+    JPEG per doc (Huffman DC/AC coding, byte stuffing, quantization),
+    stage 2 decodes the actual entropy-coded bytes (core/jpeg.py —
+    tables read from the stream) and reports dimensions + mean gray.
+    The fixture uses constant even-valued blocks where JPEG is EXACT,
+    so the DuckDB twin recomputes the mean from the block-value
+    formula and any Huffman/DC-chain/IDCT bug fails the value hash
+    (the DC difference chain couples every block to its predecessors —
+    one wrong bit shifts all following blocks). The general lossy AC
+    path is PSNR-gated in tests/test_gif_codec.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    payloads = synth_jpeg_payloads(t(spark, sf_dir, "documents"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            blobs = rb.column(1).to_pylist()
+            ws, hs, nbs, mg = [], [], [], []
+            for blob in blobs:
+                w, h, ch, raw = decode_image_pixels(blob)
+                ws.append(w)
+                hs.append(h)
+                nbs.append((w // 8) * (h // 8))
+                mg.append(round(
+                    float(np.frombuffer(raw, dtype=np.uint8).mean()), 4
+                ))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(nbs, pa.int32()),
+                    pa.array(mg, pa.float64()),
+                ],
+                names=[f.name for f in JPEG_STATS_SCHEMA.fields],
+            )
+
+    return payloads.mapInArrow(fn, JPEG_STATS_SCHEMA)
 
 
 RLE_STATS_SCHEMA = StructType(

@@ -152,6 +152,7 @@ SPARK_QUERIES = {
     "mm_gif_stats": multimodal.mm_gif_stats,
     "mm_mulaw_stats": multimodal.mm_mulaw_stats,
     "mm_video_rle_stats": multimodal.mm_video_rle_stats,
+    "mm_jpeg_stats": multimodal.mm_jpeg_stats,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -986,6 +987,30 @@ ORACLE_SQL = {
         SELECT json_extract_string(props, '$.k') AS k_value,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
+    """,
+    # JPEG twin: the fixture's constant even-valued blocks make the
+    # lossy codec exact, so the mean comes straight from the block
+    # formula while Spark decodes the actual entropy-coded bytes
+    "mm_jpeg_stats": """
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS INT) AS bw,
+                   CAST(doc_id % 2 + 1 AS INT) AS bh
+            FROM documents
+        ), b AS (
+            SELECT doc_id, bw, bh,
+                   unnest(generate_series(0, bw * bh - 1)) AS bi
+            FROM p
+        ), v AS (
+            SELECT doc_id, bw, bh,
+                   2 * ((doc_id * 29 + bi * 13) % 128) AS val
+            FROM b
+        )
+        SELECT doc_id, CAST(bw * 8 AS INT) AS width,
+               CAST(bh * 8 AS INT) AS height,
+               CAST(bw * bh AS INT) AS n_blocks,
+               round(avg(val), 4) AS mean_gray
+        FROM v GROUP BY doc_id, bw, bh
     """,
     # RLE8 twin: recompute cross-frame channel means from the
     # palette/index formulas; Spark decodes the actual AVI bytes

@@ -161,7 +161,8 @@ def main() -> None:
                  "mm_video_stats", "text_gopher_quality", "text_pii_scrub",
                  "decontaminate_ngram_overlap", "embed_quantize_error",
                  "sample_temperature", "curation_funnel", "chunk_documents",
-                 "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats"):
+                 "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
+                 "mm_jpeg_stats"):
         fn = SPARK_QUERIES[name]
 
         def run(fn=fn):

@@ -224,3 +224,78 @@ def test_rle8_hostile_streams_raise_value_error():
         decode_avi_rle8(good[:30])  # truncated container
     with pytest.raises(ValueError, match="not a RIFF/AVI"):
         decode_avi_rle8(b"JUNK" + good[4:])
+
+
+# ----------------------------------------------------- baseline JPEG
+
+
+def test_jpeg_dc_only_blocks_are_exact():
+    """Constant 8x8 blocks of EVEN values survive quantization exactly
+    (DC step 16, FDCT DC = 8*(v-128)) — the property the oracle-pinned
+    query relies on. Odd values would quantize with loss."""
+    from amazon_textract_enhancer_spark.core.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rnd = random.Random(1)
+    for _ in range(10):
+        bw, bh = rnd.randint(1, 3), rnd.randint(1, 2)
+        w, h = bw * 8, bh * 8
+        px = bytearray(w * h)
+        for b in range(bw * bh):
+            v = 2 * rnd.randrange(128)
+            by, bx = divmod(b, bw)
+            for y in range(8):
+                row = (by * 8 + y) * w + bx * 8
+                px[row:row + 8] = bytes([v]) * 8
+        assert decode_jpeg_gray(encode_jpeg_gray(w, h, bytes(px))) == \
+            (w, h, bytes(px))
+
+
+def test_jpeg_gradient_round_trip_psnr():
+    """The general AC path (run/size Huffman symbols, EOB, stuffing) is
+    lossy; gate reconstruction quality on a smooth gradient."""
+    import math
+
+    from amazon_textract_enhancer_spark.core.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    w, h = 24, 16
+    px = bytes(min(255, (x * 7 + y * 5) % 256) for y in range(h)
+               for x in range(w))
+    _, _, dec = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    mse = sum((a - b) ** 2 for a, b in zip(px, dec)) / len(px)
+    psnr = 10 * math.log10(255 * 255 / max(mse, 1e-9))
+    assert psnr > 30, psnr
+
+
+def test_jpeg_non_multiple_of_8_dimensions():
+    from amazon_textract_enhancer_spark.core.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    w, h = 13, 11
+    px = bytes((x * 3 + y * 11) % 256 for y in range(h) for x in range(w))
+    jw, jh, dec = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    assert (jw, jh) == (w, h) and len(dec) == w * h
+
+
+def test_jpeg_hostile_payloads_raise_value_error():
+    from amazon_textract_enhancer_spark.core.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(8, 8, bytes([100] * 64))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x00\x00" + good[2:])
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(good[:40])  # truncated before SOS/EOI
+    # progressive SOF2 must be rejected, not mis-decoded
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(bad)
