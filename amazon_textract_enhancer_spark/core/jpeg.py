@@ -73,6 +73,18 @@ _COS = [
 ]
 _C = [1 / math.sqrt(2)] + [1.0] * 7
 
+# DCT basis as a matrix: _M[u][x] = 0.5 * C(u) * cos((2x+1)uπ/16), so
+# FDCT = M · block · Mᵀ and IDCT = Mᵀ · coef · M — used by the NumPy
+# fast path (the pure-Python loops remain as the reference / fallback)
+_M = [[0.5 * _C[u] * _COS[x][u] for x in range(8)] for u in range(8)]
+
+try:  # NumPy is available in this environment; keep a fallback anyway
+    import numpy as _np
+
+    _M_NP = _np.array(_M)
+except Exception:  # pragma: no cover
+    _np = None
+
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """value → (code, length) per the canonical JPEG construction."""
@@ -155,6 +167,9 @@ def _category(v: int) -> int:
 
 
 def _fdct(block: list[int]) -> list[float]:
+    if _np is not None:
+        b = _np.array(block, dtype=_np.float64).reshape(8, 8) - 128.0
+        return (_M_NP @ b @ _M_NP.T).reshape(64).tolist()
     shifted = [b - 128 for b in block]
     out = [0.0] * 64
     for u in range(8):
@@ -168,6 +183,10 @@ def _fdct(block: list[int]) -> list[float]:
 
 
 def _idct(coef: list[float]) -> list[int]:
+    if _np is not None:
+        f = _np.array(coef, dtype=_np.float64).reshape(8, 8)
+        px = _np.rint(_M_NP.T @ f @ _M_NP) + 128
+        return _np.clip(px, 0, 255).astype(_np.int64).reshape(64).tolist()
     out = []
     for x in range(8):
         for y in range(8):
