@@ -659,6 +659,111 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_CLONE_OFFSET = 1_000_000
+INCR_EXISTING_PREFIX_LT = "c"  # md5 first hex < 'c' → ~3/4 existing
+
+
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, *,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """INCREMENTAL ingest dedup (★) — the production shape: a NEW
+    batch is checked against the EXISTING corpus index only, never
+    against itself (new-vs-new is the next batch's nightly CC job).
+    Per new doc: 'exact' (content fingerprint hit; matched_id = min
+    matching existing doc), else 'near' (3-gram Jaccard >= threshold
+    vs an existing doc via the inverted shingle index; best match by
+    jaccard desc, id asc), else 'unique'.
+
+    Fixture split: existing = docs whose md5(doc_id) first hex < 'c'
+    (~3/4); the new batch is the remaining quarter PLUS planted clones
+    (every 50th existing doc re-identified at doc_id+1,000,000 with
+    identical text — mirrored verbatim in the DuckDB twin) so the
+    exact path has non-empty evidence at every sf.
+
+    Plan shape: one fp equi-join (tiny), then shingle-index join of
+    new-side shingles against existing-side postings — cost ∝ shared
+    shingles, not |new|·|existing|; per-new-doc argmax is a window.
+    At corpus scale the existing side's fp and shingle tables are
+    COMMITTED index tables (TableIO) maintained across batches, and
+    the hot-shingle cap applies exactly as in dedup_ngram_jaccard
+    (fixture df is pinned far below the cap by test_simhash64)."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    is_existing = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < INCR_EXISTING_PREFIX_LT
+    )
+    existing = docs.filter(is_existing).select("doc_id", "text")
+    clones = existing.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + INCR_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    new = (
+        docs.filter(~is_existing).select("doc_id", "text")
+        .unionByName(clones)
+    )
+
+    efp = existing.select(F.col("doc_id").alias("old_id"),
+                          F.md5("text").alias("fp"))
+    nfp = new.select("doc_id", F.md5("text").alias("fp"))
+    exact = (
+        nfp.join(efp, "fp")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("matched_id"))
+    )
+
+    remaining = new.join(exact.select("doc_id"), "doc_id", "left_anti")
+    shn = _shingles(remaining).select("doc_id", "shingle")
+    she = _shingles(existing).select(
+        F.col("doc_id").alias("old_id"), "shingle"
+    )
+    sz_n = shn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_n"))
+    sz_e = she.groupBy("old_id").agg(F.count(F.lit(1)).alias("sz_e"))
+    inter = (
+        shn.join(she, "shingle")
+        .groupBy("doc_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        inter.join(sz_n, "doc_id").join(sz_e, "old_id")
+        .select(
+            "doc_id", "old_id",
+            F.round(
+                F.col("i") / (F.col("sz_n") + F.col("sz_e") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("old_id").asc()
+    )
+    near = (
+        jac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("old_id").alias("matched_id"), "jaccard")
+    )
+
+    base = new.select("doc_id")
+    out = (
+        base.join(exact.withColumnRenamed("matched_id", "exact_id"),
+                  "doc_id", "left")
+        .join(near.withColumnRenamed("matched_id", "near_id"),
+              "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("exact_id").isNotNull(), "exact")
+        .when(F.col("near_id").isNotNull(), "near")
+        .otherwise("unique")
+    )
+    return out.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.coalesce("exact_id", "near_id").alias("matched_id"),
+        F.when(F.col("exact_id").isNull(), F.col("jaccard")).alias("jaccard"),
+    )
+
+
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's FINAL step (★): apply the cluster drop list
     — every doc whose CC label is not itself is a duplicate of its

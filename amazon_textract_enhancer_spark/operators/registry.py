@@ -153,6 +153,7 @@ SPARK_QUERIES = {
     "mm_mulaw_stats": multimodal.mm_mulaw_stats,
     "mm_video_rle_stats": multimodal.mm_video_rle_stats,
     "mm_jpeg_stats": multimodal.mm_jpeg_stats,
+    "dedup_incremental": dedup.dedup_incremental,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -987,6 +988,73 @@ ORACLE_SQL = {
         SELECT json_extract_string(props, '$.k') AS k_value,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
+    """,
+    # incremental-dedup twin: same split, same planted clones, same
+    # new-vs-existing-only candidate generation
+    "dedup_incremental": f"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       < '{dedup.INCR_EXISTING_PREFIX_LT}' AS is_existing
+            FROM documents
+        ), ex AS (
+            SELECT doc_id AS old_id, text FROM d WHERE is_existing
+        ), nw AS (
+            SELECT doc_id, text FROM d WHERE NOT is_existing
+            UNION ALL
+            SELECT old_id + {dedup.INCR_CLONE_OFFSET}, text FROM ex
+            WHERE old_id % 50 = 0
+        ), exact AS (
+            SELECT n.doc_id, min(e.old_id) AS matched_id
+            FROM nw n JOIN ex e ON md5(n.text) = md5(e.text)
+            GROUP BY 1
+        ), rem AS (
+            SELECT * FROM nw WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+        ), shn AS (
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(L) >= 3
+                          THEN list_transform(generate_series(1, len(L) - 2),
+                                i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
+                          ELSE [] END) AS shingle
+            FROM (SELECT doc_id, {_TOK} AS L FROM rem)
+        ), she AS (
+            SELECT DISTINCT old_id,
+                   unnest(CASE WHEN len(L) >= 3
+                          THEN list_transform(generate_series(1, len(L) - 2),
+                                i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
+                          ELSE [] END) AS shingle
+            FROM (SELECT old_id, {_TOK} AS L FROM ex)
+        ), szn AS (
+            SELECT doc_id, count(*) AS sz_n FROM shn GROUP BY 1
+        ), sze AS (
+            SELECT old_id, count(*) AS sz_e FROM she GROUP BY 1
+        ), inter AS (
+            SELECT n.doc_id, e.old_id, count(*) AS i
+            FROM shn n JOIN she e USING (shingle) GROUP BY 1, 2
+        ), jac AS (
+            SELECT i.doc_id, i.old_id,
+                   round(i.i * 1.0 / (szn.sz_n + sze.sz_e - i.i), 4)
+                       AS jaccard
+            FROM inter i
+            JOIN szn ON szn.doc_id = i.doc_id
+            JOIN sze ON sze.old_id = i.old_id
+        ), near AS (
+            SELECT doc_id, old_id AS matched_id, jaccard FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY jaccard DESC, old_id ASC) AS rn
+                FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+            ) WHERE rn = 1
+        )
+        SELECT n.doc_id,
+               CASE WHEN x.matched_id IS NOT NULL THEN 'exact'
+                    WHEN nr.matched_id IS NOT NULL THEN 'near'
+                    ELSE 'unique' END AS verdict,
+               coalesce(x.matched_id, nr.matched_id) AS matched_id,
+               CASE WHEN x.matched_id IS NULL THEN nr.jaccard END AS jaccard
+        FROM nw n
+        LEFT JOIN exact x ON x.doc_id = n.doc_id
+        LEFT JOIN near nr ON nr.doc_id = n.doc_id
     """,
     # JPEG twin: the fixture's constant even-valued blocks make the
     # lossy codec exact, so the mean comes straight from the block

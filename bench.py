@@ -162,7 +162,7 @@ def main() -> None:
                  "decontaminate_ngram_overlap", "embed_quantize_error",
                  "sample_temperature", "curation_funnel", "chunk_documents",
                  "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
-                 "mm_jpeg_stats"):
+                 "mm_jpeg_stats", "dedup_incremental"):
         fn = SPARK_QUERIES[name]
 
         def run(fn=fn):

@@ -128,3 +128,31 @@ def test_connected_components_transitive_clusters(spark, tmp_path_factory):
     got = {r["keep_id"]: (r["n_docs"], r["members"])
            for r in dedup_components(spark, str(d)).collect()}
     assert got == {1: (3, "1,2,3"), 10: (2, "10,11")}
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Incremental ingest dedup: every planted clone must come back
+    'exact' pointing at its source; near matches must clear the
+    threshold against an EXISTING doc; new-batch ids never appear as
+    matched_id (new-vs-new is out of scope by design)."""
+    from amazon_textract_enhancer_spark.operators.dedup import (
+        INCR_CLONE_OFFSET,
+        JACCARD_THRESHOLD,
+        dedup_incremental,
+    )
+
+    rows = dedup_incremental(spark, "/root/testdata/sf0.01").collect()
+    by_verdict = {}
+    for r in rows:
+        by_verdict.setdefault(r["verdict"], []).append(r)
+    assert set(by_verdict) == {"exact", "near", "unique"}
+    for r in by_verdict["exact"]:
+        assert r["doc_id"] >= INCR_CLONE_OFFSET
+        assert r["matched_id"] == r["doc_id"] - INCR_CLONE_OFFSET
+        assert r["jaccard"] is None
+    new_ids = {r["doc_id"] for r in rows}
+    for r in by_verdict["near"]:
+        assert r["jaccard"] >= JACCARD_THRESHOLD
+        assert r["matched_id"] not in new_ids  # matched an EXISTING doc
+    for r in by_verdict["unique"]:
+        assert r["matched_id"] is None and r["jaccard"] is None
