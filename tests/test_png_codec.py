@@ -70,8 +70,13 @@ def test_decode_seam_rejects_non_png():
         decode_image_pixels,
     )
 
+    # formats with no decoder at all stay behind the disclosed seam
     with pytest.raises(NotImplementedError):
-        decode_image_pixels(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+        decode_image_pixels(b"RIFFxxxxWEBP webp-ish bytes")
+    # a JPEG signature now routes to the real decoder (r3), whose
+    # hostile-input discipline is ValueError, not NotImplementedError
+    with pytest.raises(ValueError):
+        decode_image_pixels(b"\xff\xd8\xff\xe0 jpeg-ish junk")
     w, h, ch, px = decode_image_pixels(encode_png(2, 2, bytes(12)))
     assert (w, h, ch) == (2, 2, 3) and px == bytes(12)
 
