@@ -684,10 +684,18 @@ def dedup_incremental(
     Plan shape: one fp equi-join (tiny), then shingle-index join of
     new-side shingles against existing-side postings — cost ∝ shared
     shingles, not |new|·|existing|; per-new-doc argmax is a window.
-    At corpus scale the existing side's fp and shingle tables are
-    COMMITTED index tables (TableIO) maintained across batches, and
-    the hot-shingle cap applies exactly as in dedup_ngram_jaccard
-    (fixture df is pinned far below the cap by test_simhash64)."""
+    The hot-shingle cap applies IN-QUERY exactly as in
+    dedup_ngram_jaccard: shingles whose existing-side document
+    frequency exceeds ``SHINGLE_DF_CAP`` are broadcast-anti-joined out
+    of BOTH sides before the candidate join (a shingle shared by d_e
+    existing and d_n new docs emits d_e·d_n candidate rows — the
+    cross-batch form of the quadratic blowup), while Jaccard
+    denominators use FULL per-doc shingle counts so surviving pairs
+    stay exact. The capless DuckDB twin stays hash-equal because the
+    fixture's max df is pinned at 10x below the cap
+    (test_simhash64::test_fixture_shingle_df_far_below_cap). At corpus
+    scale the existing side's fp and shingle tables are COMMITTED
+    index tables (TableIO) maintained across batches."""
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents")
@@ -718,10 +726,19 @@ def dedup_incremental(
     she = _shingles(existing).select(
         F.col("doc_id").alias("old_id"), "shingle"
     )
+    # full-list sizes FIRST (exact denominators), then drop hot
+    # shingles from both candidate sides
     sz_n = shn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_n"))
     sz_e = she.groupBy("old_id").agg(F.count(F.lit(1)).alias("sz_e"))
+    hot = F.broadcast(
+        she.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
     inter = (
-        shn.join(she, "shingle")
+        shn.join(hot, "shingle", "left_anti")
+        .join(she.join(hot, "shingle", "left_anti"), "shingle")
         .groupBy("doc_id", "old_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )
