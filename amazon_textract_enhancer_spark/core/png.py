@@ -92,7 +92,15 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, row-major interleaved 8-bit pixels).
-    Raises ValueError on anything outside the supported profile."""
+    Raises ValueError on anything outside the supported profile,
+    including truncated headers (never struct.error/IndexError)."""
+    try:
+        return _decode_png(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed PNG: {e}") from e
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

@@ -81,7 +81,15 @@ def encode_wav_mulaw(sample_rate: int, channels: int,
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     """→ (sample_rate, channels, interleaved signed 16-bit samples).
     Format 1 (PCM16) is read directly; format 7 (µ-law) is EXPANDED to
-    int16 per G.711. ValueError on anything else."""
+    int16 per G.711. ValueError on anything else, including truncated
+    headers (never struct.error/IndexError)."""
+    try:
+        return _decode_wav(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed WAV: {e}") from e
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12

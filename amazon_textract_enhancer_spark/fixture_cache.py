@@ -138,11 +138,15 @@ def ensure_fixture_cache(n_convs: int) -> str:
             nr["conv_id"], nr["turn_idx"] = key
             nodes_rows.append(nr)
 
-    tmp = d + ".tmp"
-    if os.path.exists(tmp):
-        import shutil
+    # writer-unique tmp dir: a fixed name would let two concurrent
+    # writers rmtree each other's half-written tmp (the content is
+    # deterministic, but the crash isn't). No opportunistic cleanup of
+    # other writers' tmps either — that would be the same race; a
+    # killed writer leaks one tiny dir, which the versioned cache dir
+    # namespace makes harmless.
+    import uuid as _uuid
 
-        shutil.rmtree(tmp)
+    tmp = f"{d}.tmp-{_uuid.uuid4().hex[:12]}"
     os.makedirs(tmp)
 
     def write(name: str, data: list[dict], spark_schema) -> None:

@@ -587,7 +587,9 @@ def connected_components(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
     if single_partition is None:
-        single_partition = both.count() < small_graph_edges
+        # `both` holds two rows per undirected edge — halve before
+        # comparing so the gate fires at the documented edge count
+        single_partition = both.count() // 2 < small_graph_edges
     if single_partition:
         return _cc_union_find_one_task(both)
     labels = (

@@ -284,13 +284,17 @@ def mm_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             blobs = rb.column(1).to_pylist()
             ws, hs, ncs, mr, mg, mb = [], [], [], [], [], []
             for blob in blobs:
-                w, h, ch, raw = decode_image_pixels(blob)
-                a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, ch)
-                means = a.mean(axis=0)
+                # ONE LZW decode per payload: palette resolution to RGB
+                # is a NumPy gather over the decoded indices (the
+                # decode_image_pixels wrapper would decode again just
+                # to hand back pre-resolved RGB)
+                w, h, palette, indices = decode_gif(blob)
+                pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+                idx = np.frombuffer(indices, dtype=np.uint8)
+                means = pal[idx].mean(axis=0)
                 ws.append(w)
                 hs.append(h)
-                # n_colors from the decoded global table, not a guess
-                ncs.append(len(decode_gif(blob)[2]) // 3)
+                ncs.append(len(pal))
                 mr.append(round(float(means[0]), 4))
                 mg.append(round(float(means[1]), 4))
                 mb.append(round(float(means[2]), 4))

@@ -154,6 +154,10 @@ SPARK_QUERIES = {
     "mm_video_rle_stats": multimodal.mm_video_rle_stats,
     "mm_jpeg_stats": multimodal.mm_jpeg_stats,
     "dedup_incremental": dedup.dedup_incremental,
+    # ✂ exact greedy packing: window boundaries depend on every prior
+    # decision in the stream (sequential recurrence) — rows-only;
+    # the ≤W invariant is pinned in pytest instead
+    "pack_context_windows_greedy": textstats.pack_context_windows_greedy,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"

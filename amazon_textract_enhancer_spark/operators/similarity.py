@@ -238,16 +238,29 @@ def ann_lsh_bucketed(
     )
     a = probe_side.alias("a")
     b2 = kept.alias("b")
+    # join WITHOUT an id orientation predicate, then canonicalize: with
+    # `a.vec_id < b.vec_id` in the join, a hot-homed vector h and a
+    # cold-homed vector c with c.id < h.id could only be found as
+    # (a=c probing h's bucket) — but h's build row is capped away, and
+    # the surviving orientation (a=h probing c's bucket) was rejected
+    # by the predicate. Canonicalizing after the join keeps every pair
+    # reachable from EITHER endpoint's probe; only hot×hot pairs (both
+    # build rows capped) are lost, which is what the docstring promises.
     cand = a.join(
         b2,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
     )
     cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
-    return cand.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(cos, 6).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    return (
+        cand.select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
 
 
 KNN_JOIN_QUERIES = 5  # vec_id 0..4 form the query set

@@ -130,15 +130,23 @@ PACK_WINDOW_TOKENS = 512
 
 def pack_context_windows(spark: SparkSession, sf_dir: str,
                          window_tokens: int = PACK_WINDOW_TOKENS) -> DataFrame:
-    """Context-window PACKING (★) — assign documents to training
-    sequences of <= ``window_tokens`` tokens without splitting docs:
-    within each lang stream (deterministic doc_id order), a running
-    token cumsum places each doc in window floor((cum - tok)/W). This
-    is the distributed form of greedy sequence packing: one window
-    function per stream, no sequential driver loop — a 10^12-doc
-    corpus packs in a single window pass per stream (salt the stream
-    key if one lang dominates). Docs longer than W get a window of
-    their own (same as the greedy packer)."""
+    """Context-window PACKING, offset-binned form (★): within each
+    lang stream (deterministic doc_id order) a running token cumsum
+    places each doc in the window containing its START offset,
+    window_id = floor((cum − tok)/W). One window pass per stream, no
+    sequential loop — a 10^12-doc corpus packs in a single pass (salt
+    the stream key if one lang dominates).
+
+    SEMANTICS, precisely: this is the streaming APPROXIMATION of
+    greedy packing, not greedy packing — all docs STARTING in
+    [w·W, (w+1)·W) share window w, so a window's token total can
+    exceed W by up to (len of its last doc − 1), and an over-long doc
+    shares its window with whatever shorter docs started in the same
+    bin. Per-token attention masks make the overflow harmless in most
+    training setups; when a HARD cap matters, use
+    ``pack_context_windows_greedy`` (exact, grouped-map) instead —
+    its per-window totals are pinned ≤ W by test unless a single doc
+    alone exceeds W."""
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents")
@@ -152,4 +160,44 @@ def pack_context_windows(spark: SparkSession, sf_dir: str,
             "window_id",
             F.floor((cum - F.col("n_tokens")) / F.lit(window_tokens)).cast("long"),
         )
+    )
+
+
+def pack_context_windows_greedy(
+    spark: SparkSession, sf_dir: str,
+    window_tokens: int = PACK_WINDOW_TOKENS,
+) -> DataFrame:
+    """EXACT greedy context-window packing: walk each lang stream in
+    doc_id order, open a new window whenever adding the doc would
+    exceed ``window_tokens`` — so every window's total is ≤ W, except
+    a window holding a single doc that alone exceeds W (which then
+    holds ONLY that doc). Greedy boundaries depend on every prior
+    decision in the stream, so this is a per-stream sequential pass:
+    grouped-map applyInPandas, one task per lang (parallelism =
+    streams; salt the stream key if one lang dominates — each salt
+    shard then packs independently, which is still exact within the
+    shard). Same output schema as the offset-binned form; the two
+    coincide whenever no window overflows."""
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split(F.lower(F.col("text")), TOKEN_PATTERN),
+                           lambda x: x != ""))
+    base = docs.select("doc_id", "lang", ntok.cast("long").alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        wid, used = 0, 0
+        out = []
+        for tok in pdf["n_tokens"]:
+            if used > 0 and used + tok > window_tokens:
+                wid += 1
+                used = 0
+            out.append(wid)
+            used += tok
+        pdf["window_id"] = out
+        return pdf
+
+    return base.groupBy("lang").applyInPandas(
+        pack, "doc_id bigint, lang string, n_tokens bigint, window_id bigint"
     )

@@ -278,3 +278,27 @@ def test_chunk_documents_is_shuffle_free(spark):
     """Chunking is a map-side fan-out: zero exchanges."""
     df = C.chunk_documents(spark, SF_DIR)
     assert n_exchanges(df) == 0, executed_plan(df)
+
+
+def test_greedy_packing_respects_hard_cap(spark):
+    """pack_context_windows_greedy: every window total <= W unless the
+    window holds exactly one doc that alone exceeds W; window ids per
+    lang are contiguous from 0; and it agrees with the offset-binned
+    form whenever the latter does not overflow."""
+    from amazon_textract_enhancer_spark.operators.textstats import (
+        PACK_WINDOW_TOKENS,
+        pack_context_windows_greedy,
+    )
+
+    rows = pack_context_windows_greedy(spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    wins = defaultdict(list)
+    for r in rows:
+        wins[(r["lang"], r["window_id"])].append(r["n_tokens"])
+    for (lang, wid), toks in wins.items():
+        total = sum(toks)
+        assert total <= PACK_WINDOW_TOKENS or len(toks) == 1, (lang, wid)
+    for lang in {r["lang"] for r in rows}:
+        ids = sorted({r["window_id"] for r in rows if r["lang"] == lang})
+        assert ids == list(range(len(ids))), lang

@@ -299,3 +299,21 @@ def test_jpeg_hostile_payloads_raise_value_error():
     bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg_gray(bad)
+
+
+def test_png_wav_truncated_headers_raise_value_error():
+    """ADVICE-class fix: truncated PNG/WAV headers must raise
+    ValueError like every other codec, never leak struct.error."""
+    import struct as _struct
+
+    from amazon_textract_enhancer_spark.core.png import decode_png
+    from amazon_textract_enhancer_spark.core.wav import decode_wav
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    short_ihdr = sig + _struct.pack(">I", 4) + b"IHDR" + b"\x00" * 4 + b"\x00" * 4
+    with pytest.raises(ValueError):
+        decode_png(short_ihdr)
+    short_fmt = (b"RIFF" + _struct.pack("<I", 16) + b"WAVE"
+                 + b"fmt " + _struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+    with pytest.raises(ValueError):
+        decode_wav(short_fmt)
