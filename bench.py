@@ -162,7 +162,8 @@ def main() -> None:
                  "decontaminate_ngram_overlap", "embed_quantize_error",
                  "sample_temperature", "curation_funnel", "chunk_documents",
                  "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
-                 "mm_jpeg_stats", "dedup_incremental"):
+                 "mm_jpeg_stats", "dedup_incremental",
+                 "pack_context_windows_greedy"):
         fn = SPARK_QUERIES[name]
 
         def run(fn=fn):
