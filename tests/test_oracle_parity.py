@@ -128,13 +128,34 @@ def test_driver_evidence_window_is_pinned():
     missing = [n for n in window
                if n not in ORACLE_SQL and n not in allowed_rows_only]
     assert missing == [], f"non-evidence queries inside the window: {missing}"
-    # the flagship extraction path + headline serving endpoints +
-    # formerly-displaced greens stay inside the window
-    must_be_inside = {
-        "x_extract_spans", "x_extract_tables_csv", "x_extract_forms_kv",
-        "x_counters_rollup", "x_tables_relational", "x_kv_relational",
-        "c3_table_fetch", "c4_form_fetch", "text_fingerprint",
-        "text_bpe_token_estimate", "mm_decode_meta", "mm_frame_sample",
-    }
-    outside = must_be_inside - set(window)
-    assert outside == set(), f"flagship queries pushed out of window: {outside}"
+    # the EXACT window content AND order, pinned: the driver's
+    # CORRECTNESS rows are keyed by these 50 names in this sequence,
+    # so any insertion, eviction or reorder must edit this literal —
+    # a deliberate, reviewable act, never a side effect
+    assert window == [
+        "x_extract_spans", "x_extract_tables_csv",
+        "x_extract_forms_kv", "x_counters_rollup",
+        "x_tables_relational", "x_kv_relational",
+        "x_doc_text_relational", "x_geometry_reading_order",
+        "c3_table_fetch", "c4_form_fetch",
+        "b2_filter_scan_pushdown", "b12_agg_confidence_stats",
+        "b1_join_blockmap_lookup", "b3_child_traversal_posexplode",
+        "b4_ordered_text_assembly", "b5_two_level_ordered_concat",
+        "b6_grid_pivot_fixed", "b7_anti_join_swallowed",
+        "b15_semi_join_referenced", "b13_window_reading_order",
+        "d3_window_neighbor_smoothing", "b14_union_dedup",
+        "a2_distinct_idempotency", "agg_rollup_lang_source",
+        "sessionize_events", "asof_join_last_click",
+        "percentile_exact_values", "c1_point_lookup",
+        "c2_range_status_query", "c5_search_ilike",
+        "c5_search_rank_topk", "c6_tokenize_df",
+        "text_term_tf", "f2_salted_two_phase_agg",
+        "dedup_exact", "dedup_ngram_jaccard",
+        "dedup_components", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_simhash_pairs",
+        "ann_cosine_topk", "ann_pairs_threshold",
+        "embed_norm_by_label", "text_lang_id",
+        "text_quality_score", "text_token_count_stats",
+        "text_fingerprint", "text_bpe_token_estimate",
+        "mm_decode_meta", "mm_frame_sample",
+    ]

@@ -153,7 +153,9 @@ def test_mm_codec_chains_are_shuffle_free(spark):
     """The encode→decode multimodal stats chains are scan → MapInArrow
     → MapInArrow with ZERO exchanges — per-row independence means
     nothing may shuffle at any corpus size."""
-    for name in ("mm_image_stats", "mm_audio_stats", "mm_video_stats"):
+    for name in ("mm_image_stats", "mm_audio_stats", "mm_video_stats",
+                 "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
+                 "mm_jpeg_stats"):
         df = _q(spark, name)
         assert n_exchanges(df) == 0, (name, executed_plan(df))
         assert "MapInArrow" in executed_plan(df), name
