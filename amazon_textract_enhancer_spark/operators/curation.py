@@ -365,6 +365,58 @@ def chunk_documents(
     )
 
 
+SPAN_K = 20
+SPAN_MIN_DOCS = 2
+
+
+def dedup_repeated_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = SPAN_K,
+    min_docs: int = SPAN_MIN_DOCS,
+) -> DataFrame:
+    """EXACT SUBSTRING (span-level) dedup detection (★) — the
+    deduplicate-training-data recipe of Lee et al. 2022 (arXiv
+    2107.06499): find ``k``-token spans that recur across documents
+    (boilerplate, licenses, templates) even when the DOCUMENTS are not
+    duplicates — the span list is the removal/masking candidate set
+    doc-level dedup can't see. (Suffix arrays give all maximal repeats;
+    fixed-k spans are the bounded-memory streaming form — a repeat of
+    length L ≥ k appears as L−k+1 repeated k-spans, so nothing long is
+    missed.)
+
+    Per repeated span: md5 fingerprint, #distinct docs, #occurrences,
+    and the smallest containing doc_id. Plan shape: spans are HASHED
+    MAP-SIDE (the shuffle carries 32-hex fingerprints, not 20-token
+    strings) and the single exchange is a partial-aggregated groupBy
+    on the fingerprint — no pair join anywhere, so a boilerplate span
+    in 10^9 docs costs one combiner row per task, not a 10^18 pair
+    explosion. md5 keeps the DuckDB twin exact (cross-engine hex)."""
+    docs = t(spark, sf_dir, "documents")
+    L = _tokens()
+    base = docs.select("doc_id", L.alias("L")).filter(F.size("L") >= k)
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("L") - (k - 1))
+        ).alias("i"),
+        "L",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("L", F.col("i"), k), " ")).alias("span_fp"),
+    )
+    return (
+        spans.groupBy("span_fp")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation FUNNEL (★) — the composition proof for the
     family: corpus → near-dup cluster drop list (``dedup_survivors``)

@@ -158,6 +158,7 @@ SPARK_QUERIES = {
     # decision in the stream (sequential recurrence) — rows-only;
     # the ≤W invariant is pinned in pytest instead
     "pack_context_windows_greedy": textstats.pack_context_windows_greedy,
+    "dedup_repeated_spans": cur.dedup_repeated_spans,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -992,6 +993,26 @@ ORACLE_SQL = {
         SELECT json_extract_string(props, '$.k') AS k_value,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
+    """,
+    "dedup_repeated_spans": f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), sp AS (
+            SELECT doc_id,
+                   md5(unnest(CASE WHEN len(L) >= {cur.SPAN_K}
+                       THEN list_transform(
+                           generate_series(1, len(L) - {cur.SPAN_K} + 1),
+                           i -> array_to_string(
+                               L[i : i + {cur.SPAN_K} - 1], ' '))
+                       ELSE [] END)) AS span_fp
+            FROM toks
+        )
+        SELECT span_fp, CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+               CAST(count(*) AS INT) AS n_occurrences,
+               min(doc_id) AS first_doc
+        FROM sp GROUP BY span_fp
+        HAVING count(DISTINCT doc_id) >= {cur.SPAN_MIN_DOCS}
     """,
     # incremental-dedup twin: same split, same planted clones, same
     # new-vs-existing-only candidate generation

@@ -163,7 +163,7 @@ def main() -> None:
                  "sample_temperature", "curation_funnel", "chunk_documents",
                  "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
                  "mm_jpeg_stats", "dedup_incremental",
-                 "pack_context_windows_greedy"):
+                 "pack_context_windows_greedy", "dedup_repeated_spans"):
         fn = SPARK_QUERIES[name]
 
         def run(fn=fn):

@@ -302,3 +302,35 @@ def test_greedy_packing_respects_hard_cap(spark):
     for lang in {r["lang"] for r in rows}:
         ids = sorted({r["window_id"] for r in rows if r["lang"] == lang})
         assert ids == list(range(len(ids))), lang
+
+
+def test_repeated_spans_detects_planted_dup_boilerplate(spark):
+    """Span-level dedup: the planted near-dup pairs share long token
+    runs, so k=20 spans recur across docs; every reported span must be
+    in >= SPAN_MIN_DOCS docs with occurrences >= doc count, and a
+    shuffled-partition rerun returns the identical fingerprint set
+    (map-side hashing is partition-agnostic)."""
+    from amazon_textract_enhancer_spark.operators.curation import (
+        SPAN_MIN_DOCS,
+        dedup_repeated_spans,
+    )
+
+    rows = dedup_repeated_spans(spark, SF_DIR).collect()
+    assert len(rows) > 100  # the planted dups guarantee a rich set
+    for r in rows:
+        assert r["n_docs"] >= SPAN_MIN_DOCS
+        assert r["n_occurrences"] >= r["n_docs"]
+        assert len(r["span_fp"]) == 32
+    again = {r["span_fp"] for r in dedup_repeated_spans(spark, SF_DIR).collect()}
+    assert again == {r["span_fp"] for r in rows}
+
+
+def test_repeated_spans_single_exchange(spark):
+    """No pair join anywhere: one fingerprint-keyed aggregation is the
+    only exchange."""
+    from amazon_textract_enhancer_spark.operators.curation import (
+        dedup_repeated_spans,
+    )
+
+    df = dedup_repeated_spans(spark, SF_DIR)
+    assert n_exchanges(df) <= 2, executed_plan(df)  # partial+final agg pair
