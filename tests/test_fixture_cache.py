@@ -63,6 +63,83 @@ def test_committed_spans_resume_no_reextraction(spark, monkeypatch):
     assert n1 == n2 == 900
 
 
+def test_cold_start_with_preexisting_warehouse(spark, monkeypatch, tmp_path):
+    """VERDICT r3 item 1: on a clean tree, TableIO used to eagerly
+    create ``cache_dir(n)/warehouse`` BEFORE the pure-Python cache
+    published, and the whole-dir os.replace then crashed with
+    ENOTEMPTY. The per-file publish + ensure-before-TableIO order must
+    make the flagship query green from a completely cold cache root,
+    even with warehouse/ pre-created."""
+    from amazon_textract_enhancer_spark.operators import extraction_queries as xq
+
+    monkeypatch.setattr(fc, "CACHE_ROOT", str(tmp_path / "cache"))
+    # the historical trigger: warehouse dir already inside the cache dir
+    os.makedirs(os.path.join(fc.cache_dir(8), "warehouse"))
+
+    out = xq.x_extract_spans(spark, "/root/testdata/sf0.002")  # n=8
+    assert out.count() > 0
+    assert os.path.exists(os.path.join(fc.cache_dir(8), "_SUCCESS"))
+    # the pre-existing warehouse dir (now holding committed tables)
+    # survived publication
+    assert os.path.isdir(os.path.join(fc.cache_dir(8), "warehouse"))
+
+
+def test_cold_start_after_rm_rf(spark, monkeypatch, tmp_path):
+    """rm -rf of the cache dir (the gitignored state of any clean
+    clone) followed by a first x_* call must rebuild and pass."""
+    import shutil
+
+    from amazon_textract_enhancer_spark.operators import extraction_queries as xq
+
+    monkeypatch.setattr(fc, "CACHE_ROOT", str(tmp_path / "cache"))
+    n1 = xq.x_extract_spans(spark, "/root/testdata/sf0.002").count()
+    shutil.rmtree(fc.cache_dir(8))
+    n2 = xq.x_extract_spans(spark, "/root/testdata/sf0.002").count()
+    assert n1 == n2 > 0
+
+
+def test_orphan_tmp_reaped_fresh_tmp_kept(monkeypatch, tmp_path):
+    """Crashed-writer tmp dirs (mtime before this process imported the
+    module) are reaped at ensure entry; a live writer's tmp (recent
+    mtime) is left alone."""
+    monkeypatch.setattr(fc, "CACHE_ROOT", str(tmp_path / "cache"))
+    d = fc.cache_dir(8)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    stale = d + ".tmp-deadbeefcafe"
+    fresh = d + ".tmp-0123456789ab"
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = fc._IMPORT_TIME - 3600
+    os.utime(stale, (old, old))
+
+    fc.ensure_fixture_cache(8)
+    assert not os.path.exists(stale), "crashed-writer tmp not reaped"
+    assert os.path.exists(fresh), "live-writer tmp wrongly reaped"
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
+def test_publish_survives_preexisting_destination(monkeypatch, tmp_path):
+    """ensure_fixture_cache with a pre-existing, _SUCCESS-less
+    destination dir (stray files inside) publishes per-file and leaves
+    the stray content untouched."""
+    monkeypatch.setattr(fc, "CACHE_ROOT", str(tmp_path / "cache"))
+    d = fc.cache_dir(8)
+    os.makedirs(os.path.join(d, "warehouse", "some_table"))
+    with open(os.path.join(d, "warehouse", "some_table", "x"), "w") as f:
+        f.write("keep me")
+
+    out = fc.ensure_fixture_cache(8)
+    assert out == d
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert os.path.exists(os.path.join(d, "transcripts.parquet"))
+    with open(os.path.join(d, "warehouse", "some_table", "x")) as f:
+        assert f.read() == "keep me"
+    # no tmp leftovers after a clean publish
+    leftovers = [p for p in os.listdir(os.path.dirname(d))
+                 if p.startswith(os.path.basename(d) + ".tmp-")]
+    assert leftovers == []
+
+
 def test_fixture_transcripts_distributed_branch(spark, monkeypatch, tmp_path):
     """Above the size threshold, fixture_transcripts must generate
     DISTRIBUTED (per-conv-seeded mapInArrow) and commit via TableIO,
