@@ -4,7 +4,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "extraction_turns_per_sec": ...}
+   "queries": {...}, "sf": ..., "extraction_turns_per_sec": ...,
+   "scaling": {...}, "detail": "BENCH/bench_detail.json"}
+
+The driver captures only the TAIL of stdout (~2000 chars) — round 3's
+line grew past it and the head (including the headline total) was lost
+(VERDICT r3 item 2). So the printed line is deliberately SHORT: the
+headline total, per-headline-query medians, throughput, and compressed
+scaling numbers. Everything else — the r3+ extra-query medians, the
+per-query spreads, and the full timing/scaling protocol prose — is
+written to BENCH/bench_detail.json instead.
 
 The headline set covers every engine pillar: the fused extraction UDF
 stage (the north-star path, measured as turns/sec), the relational
@@ -91,6 +100,18 @@ def main() -> None:
     wdf = spark.createDataFrame(rows_to_pandas(wrows), schema=TRANSCRIPT_SCHEMA)
     _force(extract_spans(wdf.repartition(CPUS)))
 
+    # 0b) ensure the committed fixture tables for this sf exist BEFORE
+    # any timed loop — otherwise the first rep of any fixture-backed
+    # query folds corpus extract+commit into its number (VERDICT r3
+    # item 8: a 12.4s first-call spread that measured the bootstrap,
+    # not the query)
+    from amazon_textract_enhancer_spark.operators import (
+        extraction_queries as _xq,
+    )
+
+    for _fix in (_xq.fixture_spans, _xq.fixture_blocks, _xq.fixture_nodes):
+        _fix(spark, SF_DIR).count()
+
     # 1) extraction throughput (the north-star metric path)
     n_convs = _N_CONVS.get(sf, 120)
     rows, _ = generate_transcripts(seed=42, n_convs=n_convs, whale_cap=400)
@@ -176,13 +197,14 @@ def main() -> None:
     # scaling-efficiency evidence (the north rule's two-cluster-size
     # criterion): report the latest bench_scaling.py result inline so
     # each round's BENCH_r{N}.json carries the protocol + numbers.
-    scaling = None
-    sr_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH", "scaling_results.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    scaling_full = None
+    scaling_short = None
+    sr_path = os.path.join(repo_dir, "BENCH", "scaling_results.json")
     if os.path.exists(sr_path):
         with open(sr_path) as f:
             sr = json.load(f)
-        scaling = {
+        scaling_full = {
             "protocol": (
                 "identical spark-submit job at local[2] (N) vs local[8] (4N) "
                 "on the same input — the in-sandbox substitute for two real "
@@ -198,7 +220,47 @@ def main() -> None:
             "warehouse": sr.get("warehouse_base"),
             "gate_0.8": sr.get("gate_0.8"),
         }
+        scaling_short = {
+            "tps_local2": sr.get("tps_small_median"),
+            "tps_local8": sr.get("tps_large_median"),
+            "eff_extract": sr.get("efficiency"),
+            "eff_full_pipeline": sr.get("efficiency_full_pipeline"),
+            "gate_0.8": sr.get("gate_0.8"),
+        }
 
+    detail_rel = os.path.join("BENCH", "bench_detail.json")
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "queries_extra": extra,
+        "queries_spread_max_minus_min": spread,
+        "timing_protocol": (
+            "median of 3 reps per query; spread = max-min; "
+            "extraction_turns_per_sec is best-of-reps over the "
+            "replicated >=80k-turn corpus (r3 change: the previous "
+            "~11k-turn/1s measurement was fixed-overhead-dominated and "
+            "swung ±30% round to round on identical plans; the "
+            "replicated run reports steady-state engine throughput). "
+            "Committed fixture tables are pre-built before any timed "
+            "loop so first reps measure the query, not the bootstrap."
+        ),
+        "sf": sf,
+        "extraction_turns": n_turns,
+        "extraction_turns_timed": n_big,
+        "extraction_replication_factor": rep_factor,
+        "extraction_turns_per_sec": turns_per_sec,
+        "extraction_turns_per_sec_median": turns_per_sec_median,
+        "cpus": CPUS,
+        "scaling": scaling_full,
+    }
+    os.makedirs(os.path.join(repo_dir, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo_dir, detail_rel), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # the ONE driver line — kept SHORT (the driver records only the
+    # tail of stdout; r3's long line lost its own head)
     print(
         json.dumps(
             {
@@ -206,26 +268,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
-                "queries_extra_r3": extra,
-                "queries_spread_max_minus_min": spread,
-                "timing_protocol": (
-                    "median of 3 reps per query; spread = max-min; "
-                    "extraction_turns_per_sec is best-of-reps over the "
-                    "replicated >=80k-turn corpus (r3 change: the "
-                    "previous ~11k-turn/1s measurement was fixed-"
-                    "overhead-dominated and swung ±30% round to round "
-                    "on identical plans; the replicated run reports "
-                    "steady-state engine throughput)"
-                ),
                 "sf": sf,
-                "extraction_turns": n_turns,
-                "extraction_turns_timed": n_big,
-                "extraction_replication_factor": rep_factor,
                 "extraction_turns_per_sec": turns_per_sec,
                 "extraction_turns_per_sec_median": turns_per_sec_median,
                 "cpus": CPUS,
-                "scaling": scaling,
-            }
+                "scaling": scaling_short,
+                "detail": detail_rel,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
