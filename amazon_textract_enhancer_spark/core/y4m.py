@@ -60,8 +60,16 @@ def decode_y4m(payload: bytes) -> tuple[int, int, tuple[int, int], list[bytes]]:
         elif key == b"C":
             chroma = val
         # Ip/A/X params are irrelevant to the pixel payload
-    if not width or not height:
+    if width is None or height is None:
         raise ValueError("missing W/H in stream header")
+    # hostile-input discipline (ADVICE r3): range-validate the header
+    # like the sibling codecs — a 'F0:1'/negative-rate header must fail
+    # HERE as ValueError, not later as ZeroDivisionError in the stats
+    # operator; negative/zero W/H must not masquerade as truncation
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid frame dimensions {width}x{height}")
+    if fps[0] <= 0 or fps[1] <= 0:
+        raise ValueError(f"invalid frame rate {fps[0]}:{fps[1]}")
     fsz = _frame_size(width, height, chroma)
     frames: list[bytes] = []
     pos = nl + 1

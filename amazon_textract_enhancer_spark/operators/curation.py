@@ -334,7 +334,17 @@ def chunk_documents(
     one chunk). Pure JVM array expressions — token split, slice per
     start offset, posexplode — so at 10^12 docs this is a map-side
     fan-out whose output fans straight into the embedding stage with
-    no shuffle at all. Deterministic chunk ids (doc_id, chunk_idx)."""
+    no shuffle at all. Deterministic chunk ids (doc_id, chunk_idx).
+
+    ``stride`` must be in (0, window_tokens]: a stride beyond the
+    window would leave uncovered token gaps (contradicting the overlap
+    contract) and emit empty chunks whose re-split token count reads 1
+    (ADVICE r3)."""
+    if stride <= 0 or stride > window_tokens:
+        raise ValueError(
+            f"stride must be in (0, window_tokens]; got stride={stride}, "
+            f"window_tokens={window_tokens}"
+        )
     docs = t(spark, sf_dir, "documents")
     L = _tokens()
     base = docs.select("doc_id", L.alias("L")).filter(F.size("L") >= 1)

@@ -120,6 +120,27 @@ def fixture_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                       bucket_col="conv_id", n_buckets=8)
 
 
+def fixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/C5-ii — the committed tokens inverted index over the fixture
+    corpus (pipeline stage 3's shape: derived from the COMMITTED spans
+    table, bucketed by term). Serving queries read THIS table; they
+    never re-tokenize documents (VERDICT r3 item 5)."""
+    from .serving import term_frequencies
+
+    n = n_convs_for(sf_dir)
+    if n <= _DISTRIBUTED_GEN_MIN_CONVS:
+        ensure_fixture_cache(n)
+    io, snapshot = _fixture_io(n)
+    if not io.is_committed("tokens", snapshot, _FIXTURE_CFG):
+        io.commit_stage(
+            term_frequencies(fixture_spans(spark, sf_dir), "extracted_text",
+                             ["conv_id", "turn_idx"]),
+            "tokens", snapshot, _FIXTURE_CFG,
+            bucket_col="term", n_buckets=8,
+        )
+    return io.read_table(spark, "tokens")
+
+
 def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction: per-turn main text + span counts,
     stable (conv_id, turn_idx) order."""
@@ -258,6 +279,16 @@ def x_search_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(25)
     )
+
+
+def x_search_rank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 tier (ii) over the COMMITTED tokens table — the production
+    serving path (read the index, don't re-derive it). Terms are
+    deterministic high-frequency fixture vocabulary."""
+    from .serving import c5_search_tokens_indexed
+
+    toks = fixture_tokens(spark, sf_dir)
+    return c5_search_tokens_indexed(toks, ("vortex", "quartz", "zenith"), k=10)
 
 
 def x_doc_text_relational(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,13 +89,14 @@ SPARK_QUERIES = {
     "text_term_tf": serving.text_term_tf,
     # -- §2.F scale mechanics
     "f2_salted_two_phase_agg": scale.f2_salted_two_phase_agg,
-    # -- training-data pipeline: dedup
+    # -- training-data pipeline: dedup (r4 rotation, VERDICT r3 item 6:
+    #    the three hash-dedup ✂ rows produced driver rows it can't
+    #    score — their determinism checks live in pytest; the slots now
+    #    carry ★ families that were previously unwitnessed)
     "dedup_exact": dedup.dedup_exact,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_components": dedup.dedup_components,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ✂
-    "dedup_simhash": dedup.dedup_simhash,  # ✂
-    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,  # ✂
+    "dedup_incremental": dedup.dedup_incremental,
     # -- training-data pipeline: similarity search
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "ann_pairs_threshold": similarity.ann_pairs_threshold,
@@ -106,11 +107,17 @@ SPARK_QUERIES = {
     "text_token_count_stats": textstats.text_token_count_stats,
     "text_fingerprint": textstats.text_fingerprint,
     "text_bpe_token_estimate": textstats.text_bpe_token_estimate,
+    "text_gopher_quality": cur.text_gopher_quality,
     "mm_decode_meta": multimodal.mm_decode_meta,
     "mm_frame_sample": multimodal.mm_frame_sample,
+    "mm_gif_stats": multimodal.mm_gif_stats,
     # ================= window boundary (first 50 end here) =============
     # everything below is pytest-pinned only (oracle parity sweeps all
     # of ORACLE_SQL; rows-only ✂ queries get the determinism check)
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ✂
+    "dedup_simhash": dedup.dedup_simhash,  # ✂
+    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,  # ✂
+    "x_search_rank_indexed": xq.x_search_rank_indexed,
     "ann_lsh_bucketed": similarity.ann_lsh_bucketed,  # ✂
     "ann_ivf_topk": similarity.ann_ivf_topk,  # ✂
     "ann_knn_join": similarity.ann_knn_join,
@@ -140,20 +147,18 @@ SPARK_QUERIES = {
     "unpivot_event_counts": rel.unpivot_event_counts,
     "sketch_approx_distinct": rel.sketch_approx_distinct,  # ✂
     "map_fns_props": rel.map_fns_props,
-    # round-3 curation family (positions 80+: outside the driver's
-    # 50-row window by design — pytest oracle-parity carries them)
-    "text_gopher_quality": cur.text_gopher_quality,
+    # round-3 curation family (outside the driver's 50-row window by
+    # design — pytest oracle-parity carries them; text_gopher_quality,
+    # mm_gif_stats and dedup_incremental rotated INTO the window in r4)
     "text_pii_scrub": cur.text_pii_scrub,
     "decontaminate_ngram_overlap": cur.decontaminate_ngram_overlap,
     "embed_quantize_error": cur.embed_quantize_error,
     "sample_temperature": cur.sample_temperature,
     "curation_funnel": cur.curation_funnel,
     "chunk_documents": cur.chunk_documents,
-    "mm_gif_stats": multimodal.mm_gif_stats,
     "mm_mulaw_stats": multimodal.mm_mulaw_stats,
     "mm_video_rle_stats": multimodal.mm_video_rle_stats,
     "mm_jpeg_stats": multimodal.mm_jpeg_stats,
-    "dedup_incremental": dedup.dedup_incremental,
     # ✂ exact greedy packing: window boundaries depend on every prior
     # decision in the stream (sequential recurrence) — rows-only;
     # the ≤W invariant is pinned in pytest instead
@@ -802,6 +807,19 @@ ORACLE_SQL = {
             FROM read_parquet('{_XSPANS}')
         ) WHERE term <> ''
         GROUP BY term ORDER BY tf DESC, term LIMIT 25
+    """,
+    # C5-ii production form: Spark reads the COMMITTED tokens index
+    # (committed once from the committed spans); the twin recomputes the
+    # same scores from the ORACLE spans cache — sum of selected-term tf
+    # per turn == plain occurrence count
+    "x_search_rank_indexed": f"""
+        SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS score FROM (
+            SELECT conv_id, turn_idx,
+                   unnest(regexp_split_to_array(lower(extracted_text), '[^a-z0-9]+')) AS term
+            FROM read_parquet('{_XSPANS}')
+        ) WHERE term IN ('vortex', 'quartz', 'zenith')
+        GROUP BY 1, 2
+        ORDER BY score DESC, conv_id, turn_idx LIMIT 10
     """,
     # the D3/D4 relational twin as SQL over the NODE table cache:
     # same density rule (constants from core.htmldom: MIN_CONTENT_CHARS

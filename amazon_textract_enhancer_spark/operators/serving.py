@@ -111,6 +111,26 @@ def c5_search_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c5_search_tokens_indexed(tokens: DataFrame, terms: tuple[str, ...],
+                             k: int = 10) -> DataFrame:
+    """C5 tier (ii), production form (VERDICT r3 item 5): score from a
+    COMMITTED tokens inverted index (pipeline stage 3's
+    (conv_id, turn_idx, term, tf) table, bucketed by term) instead of
+    re-tokenizing the corpus in-query — at 10^13 index rows serving
+    must read the index, not re-derive it. The term predicate pushes
+    into the parquet scan (asserted in tests/test_plans.py), and with
+    Iceberg bucket(N, term) layout it prunes to the probed buckets.
+    Deterministic top-k: (score desc, conv_id, turn_idx) →
+    TakeOrderedAndProject."""
+    return (
+        tokens.filter(F.col("term").isin(*terms))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.sum("tf").cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+        .limit(k)
+    )
+
+
 def text_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document term frequencies (tf >= 3) via the zero-shuffle
     run-length encoder — the tokens-stage operator, oracle-checked

@@ -280,6 +280,20 @@ def test_chunk_documents_is_shuffle_free(spark):
     assert n_exchanges(df) == 0, executed_plan(df)
 
 
+def test_chunk_documents_rejects_gap_strides(spark):
+    """ADVICE r3: stride > window leaves uncovered token gaps and
+    emits empty chunks with a phantom token count of 1 — reject the
+    parameterization instead."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        C.chunk_documents(spark, SF_DIR, window_tokens=8, stride=9)
+    with _pytest.raises(ValueError, match="stride"):
+        C.chunk_documents(spark, SF_DIR, stride=0)
+    # stride == window (no overlap, no gap) stays legal
+    C.chunk_documents(spark, SF_DIR, window_tokens=8, stride=8)
+
+
 def test_greedy_packing_respects_hard_cap(spark):
     """pack_context_windows_greedy: every window total <= W unless the
     window holds exactly one doc that alone exceeds W; window ids per

@@ -47,6 +47,29 @@ def test_topk_is_take_ordered_not_full_sort(spark):
     assert "TakeOrderedAndProject" in executed_plan(df)
 
 
+def test_indexed_search_reads_tokens_table_not_documents(spark):
+    """VERDICT r3 item 5's done-criterion: the production C5-ii serving
+    query must scan the COMMITTED tokens index, never re-tokenize the
+    corpus — at 10^13 index rows re-derivation is a full corpus pass
+    per query. Also: the term predicate pushes into the parquet scan,
+    and the top-k avoids a full sort."""
+    df = _q(spark, "x_search_rank_indexed")
+    plan = executed_plan(df)
+    # exactly one file scan, and it is the tokens table
+    import re
+
+    scans = re.findall(r"Location:.*?\[(.*?)\]", plan) or re.findall(
+        r"file:[^\s,\]]*", plan
+    )
+    scan_str = " ".join(scans)
+    assert "warehouse/tokens" in scan_str.replace("\\", "/"), plan
+    for src in ("documents", "transcripts.parquet", "extracted_spans",
+                "spans.parquet"):
+        assert src not in scan_str, (src, scan_str)
+    assert "term" in pushed_filters(df)
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_extraction_stage_is_shuffle_free(spark, transcripts_df):
     from amazon_textract_enhancer_spark.stages import extract_spans
 

@@ -136,6 +136,18 @@ def test_y4m_rejects_malformed():
     good = encode_y4m(4, 2, [bytes(12)])
     with _pytest.raises(ValueError):
         decode_y4m(good[:-3])  # truncated frame
+    # ADVICE r3: hostile header params must fail as ValueError in the
+    # decode, not later as ZeroDivisionError / phantom truncation in
+    # the stats operator
+    for hostile in (
+        b"YUV4MPEG2 W4 H2 F0:1 C420\nFRAME\n" + bytes(12),   # zero fps num
+        b"YUV4MPEG2 W4 H2 F30:0 C420\nFRAME\n" + bytes(12),  # zero fps den
+        b"YUV4MPEG2 W4 H2 F-30:1 C420\nFRAME\n" + bytes(12),  # negative rate
+        b"YUV4MPEG2 W-4 H2 F30:1 C420\nFRAME\n" + bytes(12),  # negative W
+        b"YUV4MPEG2 W4 H0 F30:1 C420\nFRAME\n",               # zero H
+    ):
+        with _pytest.raises(ValueError):
+            decode_y4m(hostile)
     from amazon_textract_enhancer_spark.operators.multimodal import (
         decode_video_frames,
     )
