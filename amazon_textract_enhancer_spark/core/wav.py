@@ -81,8 +81,10 @@ def encode_wav_mulaw(sample_rate: int, channels: int,
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     """→ (sample_rate, channels, interleaved signed 16-bit samples).
     Format 1 (PCM16) is read directly; format 7 (µ-law) is EXPANDED to
-    int16 per G.711. ValueError on anything else, including truncated
-    headers (never struct.error/IndexError)."""
+    int16 per G.711; format 0x11 (IMA ADPCM, mono) is decoded through
+    the sequential nibble state machine in core/adpcm.py. ValueError
+    on anything else, including truncated headers (never
+    struct.error/IndexError)."""
     try:
         return _decode_wav(payload)
     except (struct.error, IndexError) as e:
@@ -95,6 +97,7 @@ def _decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     pos = 12
     sample_rate = channels = None
     data = None
+    block_align = n_samples = None
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
@@ -102,16 +105,24 @@ def _decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         if len(chunk) != length:
             raise ValueError("truncated chunk")
         if tag == b"fmt ":
-            fmt_code, channels, sample_rate, _br, _ba, bits = struct.unpack(
-                "<HHIIHH", chunk[:16]
-            )
-            if (fmt_code, bits) not in ((1, 16), (7, 8)):
+            fmt_code, channels, sample_rate, _br, block_align, bits = \
+                struct.unpack("<HHIIHH", chunk[:16])
+            if (fmt_code, bits) not in ((1, 16), (7, 8), (0x11, 4)):
                 raise ValueError(f"unsupported format (code={fmt_code}, bits={bits})")
+            if fmt_code == 0x11 and channels != 1:
+                raise ValueError("ADPCM: only mono supported")
+        elif tag == b"fact":
+            (n_samples,) = struct.unpack("<I", chunk[:4])
         elif tag == b"data":
             data = chunk
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if fmt_code == 0x11:
+        from .adpcm import decode_adpcm_data
+
+        return sample_rate, channels, decode_adpcm_data(
+            data, block_align, n_samples)
     if fmt_code == 7:
         return sample_rate, channels, [mulaw_expand(b) for b in data]
     if len(data) % 2:

@@ -164,6 +164,11 @@ SPARK_QUERIES = {
     # the ≤W invariant is pinned in pytest instead
     "pack_context_windows_greedy": textstats.pack_context_windows_greedy,
     "dedup_repeated_spans": cur.dedup_repeated_spans,
+    # r4: the two codec gaps VERDICT r3 listed as missing — 3-component
+    # color JPEG (4:2:0 + 4:4:4) and IMA ADPCM (sequential-state
+    # decode, oracle = recursive-CTE state simulation)
+    "mm_jpeg_color_stats": multimodal.mm_jpeg_color_stats,
+    "mm_adpcm_stats": multimodal.mm_adpcm_stats,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1325,5 +1330,104 @@ ORACLE_SQL = {
                round(avg(rmse), 6) AS avg_rmse,
                round(max(maxerr), 6) AS max_abs_err
         FROM pv GROUP BY label
+    """,
+    # Color-JPEG twin (r4): the fixture lives on the codec's exact
+    # lattice (luma even / chroma ≡ 128 mod 17, constant per block),
+    # so per-channel sums come closed-form from the block formula
+    # through the SAME JFIF conversion arithmetic (term order matches
+    # core/jpeg.py's numpy expressions so doubles agree bit-for-bit)
+    # while Spark decodes the actual MCU-interleaved entropy bytes
+    "mm_jpeg_color_stats": """
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END
+                       AS subsampling,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 16 * ((doc_id // 2) % 2 + 1)
+                        ELSE 8 * ((doc_id // 2) % 3 + 1) END AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN 16
+                        ELSE 8 * ((doc_id // 2) % 2 + 1) END AS height,
+                   128 + 17 * ((doc_id % 7) - 3) AS cb,
+                   128 + 17 * (((doc_id * 3) % 7) - 3) AS cr
+            FROM documents
+        ), b AS (
+            SELECT doc_id, subsampling, width, height, cb, cr,
+                   unnest(generate_series(0,
+                          (width // 8) * (height // 8) - 1)) AS bi
+            FROM p
+        ), v AS (
+            SELECT doc_id, subsampling, width, height, cb, cr,
+                   2 * ((doc_id * 29 + bi * 13) % 101) + 26 AS y
+            FROM b
+        ), rgb AS (
+            SELECT doc_id, subsampling, width, height,
+                   LEAST(255, GREATEST(0,
+                       FLOOR(y + 1.402 * (cr - 128) + 0.5))) AS r,
+                   LEAST(255, GREATEST(0,
+                       FLOOR(y - 0.344136 * (cb - 128)
+                               - 0.714136 * (cr - 128) + 0.5))) AS g,
+                   LEAST(255, GREATEST(0,
+                       FLOOR(y + 1.772 * (cb - 128) + 0.5))) AS bl
+            FROM v
+        )
+        SELECT doc_id, CAST(width AS INT) AS width,
+               CAST(height AS INT) AS height, subsampling,
+               CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+               CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+               CAST(64 * SUM(bl) AS BIGINT) AS sum_b
+        FROM rgb GROUP BY doc_id, width, height, subsampling
+    """,
+    # ADPCM twin (r4): NOT closed-form — a recursive CTE simulates the
+    # IMA state machine (predictor + adaptive step index, spec's
+    # 89-entry table inlined) over the identical nibble stream, the
+    # same independent-reimplementation trick dedup_components uses
+    "mm_adpcm_stats": """
+        WITH RECURSIVE p AS (
+            SELECT doc_id, 2 * ((doc_id % 20) + 4) AS ns,
+                   ((doc_id * 13) % 4096) - 2048 AS p0,
+                   CAST(doc_id % 89 AS INT) AS i0
+            FROM documents
+        ), steps(si, st) AS (VALUES
+            (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),
+            (8,16),(9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),
+            (16,34),(17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),
+            (24,73),(25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),
+            (32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),(39,307),
+            (40,337),(41,371),(42,408),(43,449),(44,494),(45,544),(46,598),(47,658),
+            (48,724),(49,796),(50,876),(51,963),(52,1060),(53,1166),(54,1282),(55,1411),
+            (56,1552),(57,1707),(58,1878),(59,2066),(60,2272),(61,2499),(62,2749),(63,3024),
+            (64,3327),(65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),(71,6484),
+            (72,7132),(73,7845),(74,8630),(75,9493),(76,10442),(77,11487),(78,12635),(79,13899),
+            (80,15289),(81,16818),(82,18500),(83,20350),(84,22385),(85,24623),(86,27086),(87,29794),
+            (88,32767)
+        ), dec(doc_id, i, pred, idx, ns) AS (
+            SELECT doc_id, 0, p0, i0, ns FROM p
+            UNION ALL
+            SELECT d.doc_id, d.i + 1,
+                GREATEST(-32768, LEAST(32767, d.pred +
+                  CASE WHEN ((d.doc_id*11 + d.i*7) % 16) >= 8
+                       THEN -1 ELSE 1 END *
+                  ((st.st >> 3)
+                   + CASE WHEN (((d.doc_id*11 + d.i*7) % 16) & 4) <> 0
+                          THEN st.st ELSE 0 END
+                   + CASE WHEN (((d.doc_id*11 + d.i*7) % 16) & 2) <> 0
+                          THEN st.st >> 1 ELSE 0 END
+                   + CASE WHEN (((d.doc_id*11 + d.i*7) % 16) & 1) <> 0
+                          THEN st.st >> 2 ELSE 0 END))),
+                GREATEST(0, LEAST(88, d.idx +
+                  CASE ((d.doc_id*11 + d.i*7) % 16) & 7
+                       WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                       WHEN 7 THEN 8 ELSE -1 END)),
+                d.ns
+            FROM dec d JOIN steps st ON st.si = d.idx
+            WHERE d.i < d.ns
+        )
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(CASE WHEN i = 0 THEN pred END) AS INT)
+                   AS first_sample,
+               CAST(SUM(pred) AS BIGINT) AS sum_samples,
+               CAST(MIN(pred) AS INT) AS min_sample,
+               CAST(MAX(pred) AS INT) AS max_sample
+        FROM dec GROUP BY doc_id
     """,
 }

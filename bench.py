@@ -133,6 +133,27 @@ def main() -> None:
         ts.sort()
         return ts[1], ts[2] - ts[0], ts[0]
 
+    def _timed_passes(runs: dict) -> tuple[dict, dict]:
+        """{name: thunk} → ({name: median}, {name: spread}), timing
+        each query once per WHOLE-SUITE PASS, 3 passes. Consecutive
+        same-query reps all land inside one of this host's multi-second
+        stall bursts (r4: b4 median 10.3s, spread 25.7s — three reps
+        inside one burst defeat a per-query median); interleaving
+        decorrelates the burst across queries so the cross-pass median
+        rejects it. Same total work as 3 consecutive reps."""
+        samples: dict[str, list[float]] = {n: [] for n in runs}
+        for _pass in range(3):
+            for name, run in runs.items():
+                t0 = time.monotonic()
+                run()
+                samples[name].append(time.monotonic() - t0)
+        meds, sprs = {}, {}
+        for name, ts in samples.items():
+            ts.sort()
+            meds[name] = round(ts[1], 3)
+            sprs[name] = round(ts[2] - ts[0], 3)
+        return meds, sprs
+
     med, spr, best = _median3(lambda: _force(extract_spans(tdf)))
     queries["x_extract_spans"] = round(med, 3)
     spread["x_extract_spans"] = round(spr, 3)
@@ -148,51 +169,59 @@ def main() -> None:
         big = big.unionByName(tdf)
     big = big.repartition(CPUS).cache()
     n_big = big.count()
-    med_big, _, best_big = _median3(lambda: _force(extract_spans(big)))
+    # 5 reps here (not 3): the throughput number is a RATE claim and a
+    # single host-stall burst can cover three consecutive ~3 s reps
+    # (r4 saw 15.8k best-of-3 vs 31.6k measured minutes later); with 5
+    # reps the best-of window almost always includes a clean rep
+    ts_big = []
+    for _rep in range(5):
+        t0 = time.monotonic()
+        _force(extract_spans(big))
+        ts_big.append(time.monotonic() - t0)
+    ts_big.sort()
+    med_big, best_big = ts_big[2], ts_big[0]
     turns_per_sec = round(n_big / best_big, 1)
     turns_per_sec_median = round(n_big / med_big, 1)
     big.unpersist()
     tdf.unpersist()
 
-    # 2) headline relational queries — median of 3 (the first run folds
-    # in codegen compile + first-scan footer reads; the median absorbs
-    # both that and the box's disk-noise spikes)
-    for name in HEADLINE:
-        fn = SPARK_QUERIES[name]
-
-        def run(fn=fn, name=name):
+    # 2) headline relational queries — one timing per whole-suite pass,
+    # 3 passes, median across passes (the first pass folds in codegen
+    # compile + first-scan footer reads; the cross-pass median absorbs
+    # that and this host's multi-second stall bursts, which consecutive
+    # per-query reps could not)
+    def _headline_run(name, fn):
+        def run():
             df = fn(spark, SF_DIR)
             if name.endswith("topk"):
                 df.collect()
             else:
                 _force(df)
+        return run
 
-        med, spr, _ = _median3(run)
-        queries[name] = round(med, 3)
-        spread[name] = round(spr, 3)
+    meds, sprs = _timed_passes(
+        {n: _headline_run(n, SPARK_QUERIES[n]) for n in HEADLINE})
+    queries.update(meds)
+    spread.update(sprs)
 
     total = round(sum(queries.values()), 3)
 
-    # 3) round-3 operators — measured the same way but kept OUT of the
+    # 3) round-3+ operators — measured the same way but kept OUT of the
     # headline total so BENCH_rN totals stay comparable across rounds
-    extra: dict[str, float] = {}
-    for name in ("dedup_simhash_pairs", "dedup_simhash", "ann_knn_join",
-                 "text_tfidf_topk", "sample_stratified", "pack_context_windows",
-                 "dedup_survivors", "mm_image_stats", "mm_audio_stats",
-                 "mm_video_stats", "text_gopher_quality", "text_pii_scrub",
-                 "decontaminate_ngram_overlap", "embed_quantize_error",
-                 "sample_temperature", "curation_funnel", "chunk_documents",
-                 "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
-                 "mm_jpeg_stats", "dedup_incremental",
-                 "pack_context_windows_greedy", "dedup_repeated_spans"):
-        fn = SPARK_QUERIES[name]
-
-        def run(fn=fn):
-            _force(fn(spark, SF_DIR))
-
-        med, spr, _ = _median3(run)
-        extra[name] = round(med, 3)
-        spread[name] = round(spr, 3)
+    extra_names = ("dedup_simhash_pairs", "dedup_simhash", "ann_knn_join",
+                   "text_tfidf_topk", "sample_stratified", "pack_context_windows",
+                   "dedup_survivors", "mm_image_stats", "mm_audio_stats",
+                   "mm_video_stats", "text_gopher_quality", "text_pii_scrub",
+                   "decontaminate_ngram_overlap", "embed_quantize_error",
+                   "sample_temperature", "curation_funnel", "chunk_documents",
+                   "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
+                   "mm_jpeg_stats", "dedup_incremental",
+                   "pack_context_windows_greedy", "dedup_repeated_spans",
+                   "mm_jpeg_color_stats", "mm_adpcm_stats")
+    extra, sprs = _timed_passes(
+        {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
+         for n in extra_names})
+    spread.update(sprs)
 
     # scaling-efficiency evidence (the north rule's two-cluster-size
     # criterion): report the latest bench_scaling.py result inline so
@@ -237,7 +266,10 @@ def main() -> None:
         "queries_extra": extra,
         "queries_spread_max_minus_min": spread,
         "timing_protocol": (
-            "median of 3 reps per query; spread = max-min; "
+            "median of 3 INTERLEAVED whole-suite passes per query "
+            "(r4: consecutive per-query reps all landed inside this "
+            "host's multi-second stall bursts, defeating the median; "
+            "interleaving decorrelates the burst); spread = max-min; "
             "extraction_turns_per_sec is best-of-reps over the "
             "replicated >=80k-turn corpus (r3 change: the previous "
             "~11k-turn/1s measurement was fixed-overhead-dominated and "

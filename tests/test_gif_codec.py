@@ -317,3 +317,136 @@ def test_png_wav_truncated_headers_raise_value_error():
                  + b"fmt " + _struct.pack("<I", 4) + b"\x01\x00\x01\x00")
     with pytest.raises(ValueError):
         decode_wav(short_fmt)
+
+
+# ----------------------------------------------- color baseline JPEG
+
+
+def _synth_color(d):
+    """Same lattice as synth_jpeg_color_payloads (exact-survival
+    values: even luma, chroma ≡ 128 mod 17, constant per plane)."""
+    sub = "420" if d % 2 == 0 else "444"
+    if sub == "420":
+        w, h = 16 * ((d // 2) % 2 + 1), 16
+    else:
+        w, h = 8 * ((d // 2) % 3 + 1), 8 * ((d // 2) % 2 + 1)
+    bw = w // 8
+    y = bytearray(w * h)
+    for b in range(bw * (h // 8)):
+        v = 2 * ((d * 29 + b * 13) % 101) + 26
+        by, bx = divmod(b, bw)
+        for yy in range(8):
+            row = (by * 8 + yy) * w + bx * 8
+            y[row:row + 8] = bytes([v]) * 8
+    cb = 128 + 17 * ((d % 7) - 3)
+    cr = 128 + 17 * (((d * 3) % 7) - 3)
+    return sub, w, h, bytes(y), cb, cr
+
+
+def test_jpeg_color_constant_blocks_exact_both_subsamplings():
+    import math
+
+    import numpy as np
+
+    from amazon_textract_enhancer_spark.core.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    for d in range(24):
+        sub, w, h, y, cb, cr = _synth_color(d)
+        data = encode_jpeg_color(w, h, y, bytes([cb]) * (w * h),
+                                 bytes([cr]) * (w * h), sub)
+        W, H, CH, px = decode_jpeg(data)
+        assert (W, H, CH) == (w, h, 3)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        for b in range((w // 8) * (h // 8)):
+            v = 2 * ((d * 29 + b * 13) % 101) + 26
+            by, bx = divmod(b, w // 8)
+            exp = [
+                min(255, max(0, math.floor(v + 1.402 * (cr - 128) + 0.5))),
+                min(255, max(0, math.floor(v - 0.344136 * (cb - 128)
+                                           - 0.714136 * (cr - 128) + 0.5))),
+                min(255, max(0, math.floor(v + 1.772 * (cb - 128) + 0.5))),
+            ]
+            block = arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            assert (block == exp).all(), (d, sub, b)
+
+
+def test_jpeg_color_gradient_round_trip_psnr():
+    """The general lossy path (AC coefficients, chroma subsampling of
+    a NON-constant plane) reconstructs a smooth gradient faithfully."""
+    import math
+
+    import numpy as np
+
+    from amazon_textract_enhancer_spark.core.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    w, h = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    Y = (64 + 4 * xx + 2 * yy).clip(0, 255).astype(np.uint8)
+    Cb = (100 + 2 * xx).clip(0, 255).astype(np.uint8)
+    Cr = (140 + yy).clip(0, 255).astype(np.uint8)
+    for sub in ("444", "420"):
+        data = encode_jpeg_color(w, h, Y.tobytes(), Cb.tobytes(),
+                                 Cr.tobytes(), sub)
+        W, H, CH, px = decode_jpeg(data)
+        assert (W, H, CH) == (w, h, 3)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        # reference: exact float conversion of the source planes
+        R = np.clip(Y + 1.402 * (Cr - 128.0), 0, 255)
+        G = np.clip(Y - 0.344136 * (Cb - 128.0)
+                    - 0.714136 * (Cr - 128.0), 0, 255)
+        B = np.clip(Y + 1.772 * (Cb - 128.0), 0, 255)
+        ref = np.stack([R, G, B], axis=-1)
+        mse = float(((got.astype(np.float64) - ref) ** 2).mean())
+        psnr = 10 * math.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert psnr > 30, f"{sub}: PSNR {psnr:.1f} dB"
+
+
+def test_jpeg_gray_still_single_component():
+    """Backward compat: decode_jpeg on a gray stream reports 1
+    channel; decode_jpeg_gray on a COLOR stream refuses."""
+    import pytest
+
+    from amazon_textract_enhancer_spark.core.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    gray = encode_jpeg_gray(8, 8, bytes([100] * 64))
+    assert decode_jpeg(gray)[2] == 1
+    color = encode_jpeg_color(8, 8, bytes([100] * 64), bytes([128]) * 64,
+                              bytes([128]) * 64, "444")
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(color)
+
+
+def test_jpeg_color_hostile_payloads_raise_value_error():
+    import pytest
+
+    from amazon_textract_enhancer_spark.core.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    good = encode_jpeg_color(16, 16, bytes([100] * 256), bytes([128]) * 256,
+                             bytes([128]) * 256, "420")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:60])  # truncated before SOS
+    with pytest.raises(ValueError):  # 4:2:0 needs %16 dims
+        encode_jpeg_color(8, 8, bytes(64), bytes(64), bytes(64), "420")
+    with pytest.raises(ValueError):  # plane size mismatch
+        encode_jpeg_color(16, 16, bytes(255), bytes(256), bytes(256), "444")
+    with pytest.raises(ValueError):  # unknown subsampling token
+        encode_jpeg_color(8, 8, bytes(64), bytes(64), bytes(64), "422")
+    # corrupt the chroma DHT table id so the scan binds a missing table
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xc4", bad.find(b"\xff\xc4") + 2)  # 2nd DHT seg
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad[:i]) + b"\xff\xd9")  # tables cut off
