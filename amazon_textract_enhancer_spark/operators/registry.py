@@ -169,6 +169,9 @@ SPARK_QUERIES = {
     # decode, oracle = recursive-CTE state simulation)
     "mm_jpeg_color_stats": multimodal.mm_jpeg_color_stats,
     "mm_adpcm_stats": multimodal.mm_adpcm_stats,
+    # r4: C5 tier (iv) — Okapi BM25 (the ES default-scoring analog);
+    # index-backed production form in serving.c5_search_bm25_indexed
+    "c5_search_bm25_topk": serving.c5_search_bm25_topk,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1429,5 +1432,43 @@ ORACLE_SQL = {
                CAST(MIN(pred) AS INT) AS min_sample,
                CAST(MAX(pred) AS INT) AS max_sample
         FROM dec GROUP BY doc_id
+    """,
+    # BM25 twin (r4): same Robertson/Lucene idf + k1/b saturation,
+    # expression shapes mirrored term-for-term (left-assoc a*b/c,
+    # (1−b)+b·dl/avgdl) so both engines run the identical IEEE double
+    # sequence; 4 dp rounding BEFORE ranking kills order ties
+    "c5_search_bm25_topk": """
+        WITH dl AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        ), tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok WHERE term IN ('spark', 'merge', 'window')
+            GROUP BY doc_id, term
+        ), dfx AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), idf AS (
+            SELECT term, avgdl,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfx, stats
+        )
+        SELECT tf.doc_id,
+               round(SUM(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / idf.avgdl))), 4) AS score
+        FROM tf
+        JOIN idf ON idf.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id LIMIT 10
     """,
 }

@@ -247,6 +247,103 @@ def run_serving_query(spark: SparkSession, name: str, **params) -> DataFrame:
 
 TFIDF_TERMS = ("spark", "merge", "window")
 
+# Okapi BM25 constants (the standard Robertson defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_score(tf, idf, dl, avgdl):
+    """One term's BM25 contribution — expression shape mirrored
+    TERM-FOR-TERM in the DuckDB twin (left-assoc a*b/c, (1−b)+b·dl/avgdl)
+    so both engines execute the identical IEEE double op sequence."""
+    return (
+        idf * (tf * (BM25_K1 + 1.0))
+        / (tf + BM25_K1 * (F.lit(1.0) - BM25_B + BM25_B * dl / avgdl))
+    )
+
+
+def c5_search_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """C5 tier (iv) — Okapi BM25 ranked retrieval (★), the ES
+    default-scoring analog and the upgrade of tf-idf's length-blind
+    ranking: idf = ln((N − df + ½)/(df + ½) + 1) (Robertson-Spärck
+    Jones, Lucene's smoothed form) with tf saturation k1 = 1.2 and
+    length normalization b = 0.75 against the corpus mean document
+    length. Everything stays in-plan: per-doc length is an expression
+    (no explode), (N, avgdl) is a 1-row aggregate broadcast in, idf is
+    a broadcast of |query terms| rows, and the only shuffles are the
+    tf groupBy and the final TakeOrderedAndProject. Scores round to
+    4 dp BEFORE ranking so cross-engine ties are impossible. At corpus
+    scale the same expressions run over the committed tokens +
+    doc_lengths + corpus_stats tables instead (c5_search_bm25_indexed;
+    equality pinned in tests/test_sql_serving.py)."""
+    docs = t(spark, sf_dir, "documents")
+    terms_arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
+    )
+    dl = docs.select("doc_id", F.size(terms_arr).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = tokenize(docs, "text", ["doc_id"]).filter(
+        F.col("term").isin(*TFIDF_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "avgdl",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(_bm25_score(
+            F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl")
+        )), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def c5_search_bm25_indexed(
+    tokens: DataFrame,
+    doc_lengths: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: tuple[str, ...],
+    k: int = 10,
+) -> DataFrame:
+    """C5 tier (iv), production form: BM25 over the COMMITTED serving
+    tables — ``tokens`` (conv_id, turn_idx, term, tf; bucketed by
+    term so the term predicate prunes to the probed buckets),
+    ``doc_lengths`` (conv_id, turn_idx, dl; pipeline stage 4) and the
+    (n_docs, avgdl) scalars from the committed ``corpus_stats`` row.
+    Nothing re-tokenizes and nothing scans the raw corpus: cost is
+    |postings of the query terms| + one equi-join against doc_lengths.
+    Same expressions as c5_search_bm25_topk (equality pinned in
+    tests/test_sql_serving.py)."""
+    hits = tokens.filter(F.col("term").isin(*terms))
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "term",
+        F.log(
+            (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    return (
+        hits.join(F.broadcast(idf), "term")
+        .join(doc_lengths, ["conv_id", "turn_idx"])
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.round(F.sum(_bm25_score(
+            F.col("tf"), F.col("idf"), F.col("dl"), F.lit(float(avgdl))
+        )), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+        .limit(k)
+    )
+
 
 def text_tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """C5 tier (iii) — tf-idf ranked retrieval (★): upgrade of the raw

@@ -31,7 +31,7 @@ from .sources.tableio import TableIO, snapshot_id_of
 from .stages import extract_spans
 
 CONFIG_HASH = "pipeline-v1"
-STAGES = ("extracted_spans", "conv_rollup", "tokens")
+STAGES = ("extracted_spans", "conv_rollup", "tokens", "corpus_stats")
 
 
 def run_extraction_pipeline(
@@ -122,6 +122,50 @@ def run_extraction_pipeline(
                 counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,
             )
         stage_seconds["tokens"] = round(_time.monotonic() - _t, 2)
+
+    # stage 4: serving statistics — per-turn token lengths plus the
+    # one-row corpus aggregate (n_docs, avgdl, total_tokens). These are
+    # what the index-backed rankers consume: BM25's length
+    # normalization reads doc_lengths + the corpus_stats scalars
+    # (serving.c5_search_bm25_indexed), and ANN's corpus-derived LSH
+    # plane count reads a committed count instead of re-running
+    # emb.count() per query (ADVICE r3). Derived from the committed
+    # tokens table — one aggregation pass over the index, not a corpus
+    # re-scan.
+    if "corpus_stats" in run_set:
+        _t = _time.monotonic()
+        from pyspark.sql import functions as F
+
+        if io.is_committed("doc_lengths", input_snapshot, CONFIG_HASH):
+            manifests["doc_lengths"] = io.read_manifest("doc_lengths")
+        else:
+            if not io.is_committed("tokens", input_snapshot, CONFIG_HASH):
+                raise RuntimeError(
+                    "corpus_stats stage needs the tokens table committed "
+                    f"for (snapshot={input_snapshot}, config={CONFIG_HASH})"
+                )
+            toks = io.read_table(spark, "tokens")
+            dl = toks.groupBy("conv_id", "turn_idx").agg(
+                F.sum("tf").cast("long").alias("dl")
+            )
+            manifests["doc_lengths"] = io.commit_stage(
+                dl, "doc_lengths", input_snapshot, CONFIG_HASH,
+                counter_cols=["dl"], bucket_col="conv_id", n_buckets=n_buckets,
+            )
+        if io.is_committed("corpus_stats", input_snapshot, CONFIG_HASH):
+            manifests["corpus_stats"] = io.read_manifest("corpus_stats")
+        else:
+            dl = io.read_table(spark, "doc_lengths")
+            stats = dl.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_tokens"),
+                F.avg("dl").alias("avgdl"),
+            )
+            manifests["corpus_stats"] = io.commit_stage(
+                stats, "corpus_stats", input_snapshot, CONFIG_HASH,
+                counter_cols=["n_docs"],
+            )
+        stage_seconds["corpus_stats"] = round(_time.monotonic() - _t, 2)
 
     manifests["_stage_seconds"] = stage_seconds
     return manifests

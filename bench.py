@@ -217,7 +217,7 @@ def main() -> None:
                    "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
                    "mm_jpeg_stats", "dedup_incremental",
                    "pack_context_windows_greedy", "dedup_repeated_spans",
-                   "mm_jpeg_color_stats", "mm_adpcm_stats")
+                   "mm_jpeg_color_stats", "mm_adpcm_stats", "c5_search_bm25_topk")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

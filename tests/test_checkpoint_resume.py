@@ -30,7 +30,21 @@ def _hash_table(df, cols):
 
 def test_pipeline_commit_and_resume_identical(spark, transcripts_df, warehouse):
     m1 = run_extraction_pipeline(spark, transcripts_df, warehouse)
-    assert set(m1) == {"extracted_spans", "conv_rollup", "tokens", "_stage_seconds"}
+    assert set(m1) == {"extracted_spans", "conv_rollup", "tokens",
+                       "doc_lengths", "corpus_stats", "_stage_seconds"}
+
+    # stage 4 consistency: the committed one-row corpus_stats must agree
+    # with an independent aggregation of the committed tokens table
+    io4 = TableIO(warehouse)
+    stats = io4.read_table(spark, "corpus_stats").collect()[0]
+    toks = io4.read_table(spark, "tokens")
+    dl_check = toks.groupBy("conv_id", "turn_idx").agg(
+        F.sum("tf").alias("dl"))
+    n_docs = dl_check.count()
+    total = dl_check.agg(F.sum("dl")).collect()[0][0]
+    assert stats["n_docs"] == n_docs
+    assert stats["total_tokens"] == total
+    assert abs(stats["avgdl"] - total / n_docs) < 1e-9
     io = TableIO(warehouse)
     h_before = _hash_table(
         io.read_table(spark, "extracted_spans"), ["conv_id", "turn_idx", "extracted_text"]

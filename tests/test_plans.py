@@ -47,6 +47,17 @@ def test_topk_is_take_ordered_not_full_sort(spark):
     assert "TakeOrderedAndProject" in executed_plan(df)
 
 
+def test_bm25_plan_broadcasts_stats_and_takes_ordered(spark):
+    """C5 tier (iv): the corpus aggregate (1 row) and the idf table
+    (|query terms| rows) must broadcast — a shuffle join against either
+    would repartition the whole postings set at corpus scale — and the
+    final k must be TakeOrderedAndProject, not a full sort."""
+    df = _q(spark, "c5_search_bm25_topk")
+    plan = executed_plan(df)
+    assert n_broadcast_joins(df) >= 2, plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_indexed_search_reads_tokens_table_not_documents(spark):
     """VERDICT r3 item 5's done-criterion: the production C5-ii serving
     query must scan the COMMITTED tokens index, never re-tokenize the

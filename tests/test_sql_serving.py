@@ -124,3 +124,56 @@ def test_term_frequencies_is_shuffle_free(spark, served):
 
     df = term_frequencies(served, "extracted_text", ["conv_id", "turn_idx"])
     assert n_exchanges(df) == 0
+
+
+def test_bm25_indexed_equals_self_contained(spark):
+    """c5_search_bm25_indexed over (tokens, doc_lengths, corpus_stats
+    scalars) must score identically to c5_search_bm25_topk's in-plan
+    derivation — the committed-index serving path may not drift from
+    the self-contained registry form. (Docs with zero tokens would be
+    absent from the index and shift avgdl; the pipeline's extracted
+    corpus always has non-empty extracted_text for non-skipped turns,
+    and this fixture mirrors that.)"""
+    from amazon_textract_enhancer_spark.operators.serving import (
+        TFIDF_TERMS,
+        c5_search_bm25_indexed,
+        c5_search_bm25_topk,
+        term_frequencies,
+    )
+    import os
+    import tempfile
+
+    words = ["spark", "merge", "window", "alpha", "beta", "gamma", "delta"]
+    rows = []
+    for d in range(60):
+        text = " ".join(words[(d * 7 + i * 3) % len(words)]
+                        for i in range(d % 9 + 1))
+        rows.append((d, text, "en", "web", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        expected = {
+            r["doc_id"]: r["score"]
+            for r in c5_search_bm25_topk(spark, td).collect()
+        }
+
+    # index tables as pipeline stage 3/4 would commit them, with
+    # (conv_id, turn_idx) = (zero-padded doc_id, 0) — padding keeps the
+    # string tie-break order equal to the numeric one at the k boundary
+    keyed = docs.select(
+        F.format_string("%04d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"), "text",
+    )
+    tokens = term_frequencies(keyed, "text", ["conv_id", "turn_idx"])
+    dl = tokens.groupBy("conv_id", "turn_idx").agg(
+        F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")) \
+        .collect()[0]
+    got = {
+        int(r["conv_id"]): r["score"]
+        for r in c5_search_bm25_indexed(
+            tokens, dl, stats["n"], stats["a"], TFIDF_TERMS).collect()
+    }
+    assert got == expected
