@@ -159,9 +159,9 @@ SPARK_QUERIES = {
     "mm_mulaw_stats": multimodal.mm_mulaw_stats,
     "mm_video_rle_stats": multimodal.mm_video_rle_stats,
     "mm_jpeg_stats": multimodal.mm_jpeg_stats,
-    # ✂ exact greedy packing: window boundaries depend on every prior
-    # decision in the stream (sequential recurrence) — rows-only;
-    # the ≤W invariant is pinned in pytest instead
+    # exact greedy packing — ★ since r4: the sequential recurrence is
+    # simulated by a recursive-CTE twin (the mm_adpcm_stats trick), so
+    # every boundary decision is value-hash-pinned
     "pack_context_windows_greedy": textstats.pack_context_windows_greedy,
     "dedup_repeated_spans": cur.dedup_repeated_spans,
     # r4: the two codec gaps VERDICT r3 listed as missing — 3-component
@@ -410,6 +410,35 @@ ORACLE_SQL = {
                CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
                            - n_tokens) / 512.0) AS BIGINT) AS window_id
         FROM c
+    """,
+    # Greedy-packing twin (r4, was ✂ "sequential recurrence — rows
+    # only"): a recursive CTE walks each lang stream in doc_id order
+    # carrying the (window_id, used) state — the same
+    # state-simulation trick as mm_adpcm_stats — so the grouped-map
+    # packer's every boundary decision is value-hash-pinned, not just
+    # its ≤W invariant
+    "pack_context_windows_greedy": f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, lang,
+                   len(list_filter({_TOK}, x -> x <> '')) AS n_tokens,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS rn
+            FROM documents
+        ), walk(lang, rn, doc_id, n_tokens, wid, used) AS (
+            SELECT lang, rn, doc_id, n_tokens, 0, n_tokens
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.lang, b.rn, b.doc_id, b.n_tokens,
+                   CASE WHEN w.used > 0 AND w.used + b.n_tokens > 512
+                        THEN w.wid + 1 ELSE w.wid END,
+                   CASE WHEN w.used > 0 AND w.used + b.n_tokens > 512
+                        THEN b.n_tokens ELSE w.used + b.n_tokens END
+            FROM walk w
+            JOIN base b ON b.lang = w.lang AND b.rn = w.rn + 1
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(wid AS BIGINT) AS window_id
+        FROM walk
     """,
     "ann_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -16,7 +16,7 @@ not an engine property. On a real cluster each executor brings its own
 cores (and disks), which is the regime local[2]→local[8] models.
 
 The measured job is the extraction job (scan → fused extraction UDF →
-full materialization). Full-pipeline mode (3 committed stages) is
+full materialization). Full-pipeline mode (4 committed stages) is
 measured separately WITH THE WAREHOUSE ON tmpfs (/dev/shm): the
 sandbox's single shared virtio disk (~5-60 MB/s, high variance)
 otherwise serializes commit I/O identically at every thread count and
@@ -119,7 +119,8 @@ def run_staged_full(master: str, rep: int) -> dict:
     shutil.rmtree(wh, ignore_errors=True)
     stage_seconds: dict[str, float] = {}
     turns = 0
-    for stage in ("extracted_spans", "conv_rollup", "tokens"):
+    for stage in ("extracted_spans", "conv_rollup", "tokens",
+                  "corpus_stats"):
         cmd = [
             "spark-submit",
             "--master", master,
@@ -185,7 +186,7 @@ def main() -> None:
             full_results[m].append(fr)
             print(
                 f"full-staged {m} rep{rep}: {fr['turns']} turns in {fr['wall_sec']}s "
-                f"= {fr['turns_per_sec']} turns/s (3 committed stages, "
+                f"= {fr['turns_per_sec']} turns/s (4 committed stages, "
                 f"warehouse={WH_BASE}, stages={fr['manifests'].get('stage_seconds')})",
                 flush=True,
             )
@@ -257,7 +258,7 @@ def main() -> None:
         f"**Scaling efficiency** = tps({N_LARGE}) / (4 × tps({N_SMALL})) = "
         f"**{eff:.3f}** (gate ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})",
         "",
-        f"**Full-pipeline efficiency (3 committed stages incl. parquet",
+        f"**Full-pipeline efficiency (4 committed stages incl. parquet",
         f"writes): {eff_full:.3f}**, measured with the warehouse on",
         f"`{WH_BASE}` (tmpfs). Round 1 measured 0.52 with the warehouse on",
         "the sandbox's single shared virtio disk (5–67 MB/s): that number",
