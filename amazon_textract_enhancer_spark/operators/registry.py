@@ -106,14 +106,24 @@ SPARK_QUERIES = {
     "text_quality_score": textstats.text_quality_score,
     "text_token_count_stats": textstats.text_token_count_stats,
     "text_fingerprint": textstats.text_fingerprint,
-    "text_bpe_token_estimate": textstats.text_bpe_token_estimate,
+    # r4 rotation: BM25 (this round's serving tier) takes the BPE-
+    # estimate slot, and the two REAL r4 codecs (color JPEG, ADPCM —
+    # the ops VERDICT r3 listed as missing) take the fake-metadata
+    # slots: mm_decode_meta's deterministic-fake path is superseded as
+    # evidence by the nine real-codec ★ rows, and mm_frame_sample is a
+    # pure JVM fan-out of it. All three evictees stay ★ in the pytest
+    # sweep below the boundary.
+    "c5_search_bm25_topk": serving.c5_search_bm25_topk,
     "text_gopher_quality": cur.text_gopher_quality,
-    "mm_decode_meta": multimodal.mm_decode_meta,
-    "mm_frame_sample": multimodal.mm_frame_sample,
+    "mm_jpeg_color_stats": multimodal.mm_jpeg_color_stats,
+    "mm_adpcm_stats": multimodal.mm_adpcm_stats,
     "mm_gif_stats": multimodal.mm_gif_stats,
     # ================= window boundary (first 50 end here) =============
     # everything below is pytest-pinned only (oracle parity sweeps all
     # of ORACLE_SQL; rows-only ✂ queries get the determinism check)
+    "text_bpe_token_estimate": textstats.text_bpe_token_estimate,
+    "mm_decode_meta": multimodal.mm_decode_meta,
+    "mm_frame_sample": multimodal.mm_frame_sample,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ✂
     "dedup_simhash": dedup.dedup_simhash,  # ✂
     "dedup_simhash_pairs": dedup.dedup_simhash_pairs,  # ✂
@@ -164,14 +174,6 @@ SPARK_QUERIES = {
     # every boundary decision is value-hash-pinned
     "pack_context_windows_greedy": textstats.pack_context_windows_greedy,
     "dedup_repeated_spans": cur.dedup_repeated_spans,
-    # r4: the two codec gaps VERDICT r3 listed as missing — 3-component
-    # color JPEG (4:2:0 + 4:4:4) and IMA ADPCM (sequential-state
-    # decode, oracle = recursive-CTE state simulation)
-    "mm_jpeg_color_stats": multimodal.mm_jpeg_color_stats,
-    "mm_adpcm_stats": multimodal.mm_adpcm_stats,
-    # r4: C5 tier (iv) — Okapi BM25 (the ES default-scoring analog);
-    # index-backed production form in serving.c5_search_bm25_indexed
-    "c5_search_bm25_topk": serving.c5_search_bm25_topk,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"

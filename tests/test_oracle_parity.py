@@ -153,7 +153,7 @@ def test_driver_evidence_window_is_pinned():
         "ann_cosine_topk", "ann_pairs_threshold",
         "embed_norm_by_label", "text_lang_id",
         "text_quality_score", "text_token_count_stats",
-        "text_fingerprint", "text_bpe_token_estimate",
-        "text_gopher_quality", "mm_decode_meta",
-        "mm_frame_sample", "mm_gif_stats",
+        "text_fingerprint", "c5_search_bm25_topk",
+        "text_gopher_quality", "mm_jpeg_color_stats",
+        "mm_adpcm_stats", "mm_gif_stats",
     ]
