@@ -21,10 +21,12 @@ from amazon_textract_enhancer_spark.core.wav import decode_wav
 def test_hand_packed_block_vector():
     # nibbles [3, 11, 4, 15] from state (pred=0, idx=0), packed low
     # nibble first: bytes B3 F4. Expected samples worked through the
-    # spec recurrence by hand: step(0)=7 →
-    #   n=3: diff=0+1+3 ... pred 4, idx -1→0
-    #   n=11 (sign): pred 4-4=0, idx 0+(-1)→0
-    #   n=4: diff 7>>3 + 7 = 7  → wait, worked values below
+    # spec recurrence by hand with step(0)=7:
+    #   n=3:  diff = 0+1+3 = 4 (step>>3 + step>>1·1 + step>>2·1),
+    #         pred 0+4=4, idx clamp(0-1)=0
+    #   n=11: sign bit set, magnitude 3 → diff 4, pred 4-4=0, idx 0
+    #   n=4:  diff = 0+7 = 7, pred 7, idx 0+2=2 (step(2)=9)
+    #   n=15: sign, magnitude 7 → diff 9>>3+9+4+2 = 16, pred -9
     block = struct.pack("<hBB", 0, 0, 0) + bytes([0xB3, 0xF4])
     assert decode_adpcm_data(block, len(block)) == [0, 4, 0, 7, -9]
 
