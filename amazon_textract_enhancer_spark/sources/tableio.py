@@ -15,7 +15,11 @@ Commit protocol (atomic on POSIX rename; crash-safe at every step):
 5. ``os.replace`` the tmp dir to ``<table>/data/``
 6. write ``<table>/_manifest.json`` (tmp file + ``os.replace``) with
    (stage, input_snapshot, config_hash, rows, per-partition lineage)
-7. delete the ``.old-<nonce>`` dir
+7. delete the ``.old-<nonce>`` dir — or, with ``retain_snapshots > 0``,
+   rename it to ``snap-<prev_seq>/`` and record it in the append-only
+   ``_snapshots.json`` log: the Iceberg snapshot-history analog, read
+   back via ``read_table(..., as_of=seq)`` (``VERSION AS OF``),
+   ``rollback_to`` and ``expire_snapshots``
 
 A re-run with the same (stage, input_snapshot, config_hash) finds the
 manifest and SKIPS the stage — that is the resume path. A killed job
@@ -39,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
+SNAPLOG = "_snapshots.json"
 
 
 def iceberg_session_conf(catalog: str = "lake", warehouse: str = "s3://bucket/wh") -> dict:
@@ -55,8 +60,18 @@ def iceberg_session_conf(catalog: str = "lake", warehouse: str = "s3://bucket/wh
 class TableIO:
     """Parquet-backed table store with atomic manifest commits."""
 
-    def __init__(self, warehouse: str) -> None:
+    def __init__(self, warehouse: str, retain_snapshots: int = 0) -> None:
+        """retain_snapshots: how many SUPERSEDED snapshots to keep on
+        disk per table (the Iceberg snapshot-retention analog). 0 (the
+        default, and the pipeline's setting) keeps only the current
+        snapshot — exactly the pre-r4 behavior. With k > 0, the last k
+        replaced ``data/`` dirs survive as ``snap-<seq>/`` and are
+        readable via ``read_table(..., as_of=seq)`` (time travel) or
+        restorable via ``rollback_to`` — the same history surface
+        Iceberg exposes as ``VERSION AS OF`` / ``rollback_to_snapshot``,
+        emulated on the same commit protocol."""
         self.warehouse = warehouse
+        self.retain_snapshots = retain_snapshots
         os.makedirs(warehouse, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -69,6 +84,12 @@ class TableIO:
     def manifest_path(self, name: str) -> str:
         return os.path.join(self.table_path(name), MANIFEST)
 
+    def snaplog_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), SNAPLOG)
+
+    def snap_path(self, name: str, seq: int) -> str:
+        return os.path.join(self.table_path(name), f"snap-{seq}")
+
     # -- manifest -------------------------------------------------------
     def read_manifest(self, name: str) -> dict | None:
         p = self.manifest_path(name)
@@ -76,6 +97,23 @@ class TableIO:
             return None
         with open(p) as f:
             return json.load(f)
+
+    def read_snaplog(self, name: str) -> list[dict]:
+        """Append-only history of committed manifests (newest last) —
+        the Iceberg snapshot-log analog. Entries whose data dirs were
+        expired stay listed with ``expired: true`` so lineage stays
+        auditable after the bytes are gone."""
+        p = self.snaplog_path(name)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_snaplog(self, name: str, log: list[dict]) -> None:
+        tmp = self.snaplog_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.snaplog_path(name))
 
     def is_committed(self, name: str, input_snapshot: str, config_hash: str) -> bool:
         m = self.read_manifest(name)
@@ -165,6 +203,7 @@ class TableIO:
         # invalidate BEFORE touching data/: a crash anywhere in the swap
         # window leaves no manifest, so resume re-runs the stage instead
         # of trusting a manifest whose data was deleted mid-swap
+        prev_manifest = self.read_manifest(name)
         if os.path.exists(self.manifest_path(name)):
             os.remove(self.manifest_path(name))
         data = self.data_path(name)
@@ -174,8 +213,11 @@ class TableIO:
             os.replace(data, old)
         os.replace(tmp, data)
 
+        log = self.read_snaplog(name)
+        seq = 1 + max((e["snapshot_seq"] for e in log), default=0)
         manifest = {
             "stage": name,
+            "snapshot_seq": seq,
             "input_snapshot": input_snapshot,
             "config_hash": config_hash,
             "rows": total_rows,
@@ -192,12 +234,104 @@ class TableIO:
         with open(tmp_manifest, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp_manifest, self.manifest_path(name))
+        # snapshot retention (time travel): the replaced data/ becomes
+        # snap-<prev_seq> instead of being deleted — prev_seq read from
+        # the manifest that was current before this commit (NOT the
+        # newest log entry: after a rollback the current seq is older
+        # than the log head). With retention 0 this is the old delete.
         if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+            prev_seq = (prev_manifest or {}).get("snapshot_seq")
+            if self.retain_snapshots > 0 and prev_seq is not None:
+                os.replace(old, self.snap_path(name, prev_seq))
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        log.append(dict(manifest))
+        # reconcile: any non-current entry whose snap dir is gone (e.g.
+        # the retention-0 delete above) is expired — the log records it
+        # for lineage audit but it is no longer readable
+        for e in log[:-1]:
+            if not os.path.isdir(self.snap_path(name, e["snapshot_seq"])):
+                e["expired"] = True
+        self._write_snaplog(name, log)
+        self.expire_snapshots(name, keep=self.retain_snapshots)
         return manifest
 
-    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.data_path(name))
+    def read_table(
+        self, spark: SparkSession, name: str, as_of: int | None = None
+    ) -> DataFrame:
+        """Read the current snapshot, or — the Iceberg ``VERSION AS OF``
+        analog — a retained superseded one by ``snapshot_seq``."""
+        if as_of is None:
+            return spark.read.parquet(self.data_path(name))
+        m = self.read_manifest(name)
+        if m is not None and m.get("snapshot_seq") == as_of:
+            return spark.read.parquet(self.data_path(name))
+        snap = self.snap_path(name, as_of)
+        if not os.path.isdir(snap):
+            known = [e["snapshot_seq"] for e in self.read_snaplog(name)]
+            raise ValueError(
+                f"snapshot {as_of} of table {name!r} is expired or unknown "
+                f"(log has {known}; retained dirs only go back "
+                f"{self.retain_snapshots})"
+            )
+        return spark.read.parquet(snap)
+
+    def rollback_to(self, name: str, seq: int) -> dict:
+        """Restore a retained snapshot as current (the Iceberg
+        ``rollback_to_snapshot`` analog). Same crash discipline as
+        commit_stage: invalidate the manifest first, swap, then rewrite
+        the manifest from the snapshot log — a crash mid-swap leaves no
+        manifest and the next pipeline run recomputes the stage."""
+        m = self.read_manifest(name)
+        if m is not None and m.get("snapshot_seq") == seq:
+            return m  # already current
+        snap = self.snap_path(name, seq)
+        if not os.path.isdir(snap):
+            raise ValueError(f"snapshot {seq} of table {name!r} is expired or unknown")
+        entry = next(
+            (e for e in self.read_snaplog(name) if e["snapshot_seq"] == seq), None
+        )
+        if entry is None:
+            raise ValueError(f"snapshot {seq} of table {name!r} has no log entry")
+        cur_seq = (m or {}).get("snapshot_seq")
+        if os.path.exists(self.manifest_path(name)):
+            os.remove(self.manifest_path(name))
+        data = self.data_path(name)
+        if os.path.exists(data):
+            if cur_seq is not None:
+                os.replace(data, self.snap_path(name, cur_seq))
+            else:
+                shutil.rmtree(data)
+        os.replace(snap, data)
+        entry = {k: v for k, v in entry.items() if k != "expired"}
+        tmp_manifest = self.manifest_path(name) + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(entry, f, indent=2, sort_keys=True)
+        os.replace(tmp_manifest, self.manifest_path(name))
+        return entry
+
+    def expire_snapshots(self, name: str, keep: int) -> list[int]:
+        """Drop all but the ``keep`` newest retained snapshot dirs (the
+        Iceberg ``expire_snapshots`` analog); the log keeps the expired
+        entries, flagged, so lineage stays auditable. Returns the seqs
+        expired."""
+        tpath = self.table_path(name)
+        if not os.path.isdir(tpath):
+            return []
+        snaps = sorted(
+            int(d[5:]) for d in os.listdir(tpath)
+            if d.startswith("snap-") and d[5:].isdigit()
+        )
+        drop = snaps[: max(0, len(snaps) - keep)] if keep >= 0 else []
+        for seq in drop:
+            shutil.rmtree(self.snap_path(name, seq), ignore_errors=True)
+        if drop:
+            log = self.read_snaplog(name)
+            for e in log:
+                if e["snapshot_seq"] in drop:
+                    e["expired"] = True
+            self._write_snaplog(name, log)
+        return drop
 
 
 def snapshot_id_of(df: DataFrame, key_cols: list[str]) -> str:

@@ -246,6 +246,18 @@ def main() -> None:
             "tps_local8_median": sr.get("tps_large_median"),
             "efficiency_extract": sr.get("efficiency"),
             "efficiency_full_pipeline": sr.get("efficiency_full_pipeline"),
+            "tps_local2_clean": sr.get("tps_small_clean"),
+            "tps_local8_clean": sr.get("tps_large_clean"),
+            "efficiency_extract_clean": sr.get("efficiency_clean"),
+            "efficiency_full_pipeline_clean": sr.get(
+                "efficiency_full_pipeline_clean"
+            ),
+            "steal_note": (
+                "clean = least-host-CPU-steal rep per master (steal "
+                "measured per run from /proc/stat; overcommitted-host "
+                "throttling hits high-parallelism runs asymmetrically "
+                "— see BENCH/BASELINE.md)"
+            ),
             "warehouse": sr.get("warehouse_base"),
             "gate_0.8": sr.get("gate_0.8"),
         }
@@ -254,6 +266,8 @@ def main() -> None:
             "tps_local8": sr.get("tps_large_median"),
             "eff_extract": sr.get("efficiency"),
             "eff_full_pipeline": sr.get("efficiency_full_pipeline"),
+            "eff_extract_clean": sr.get("efficiency_clean"),
+            "eff_full_clean": sr.get("efficiency_full_pipeline_clean"),
             "gate_0.8": sr.get("gate_0.8"),
         }
 

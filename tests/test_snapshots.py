@@ -1,0 +1,110 @@
+"""Snapshot time travel / rollback / expiry on TableIO — the Iceberg
+``VERSION AS OF`` / ``rollback_to_snapshot`` / ``expire_snapshots``
+analog (SURVEY.md §2.F F3), emulated on the same atomic-rename commit
+protocol the pipeline uses.
+
+Retention semantics under test:
+- retain_snapshots=0 (the pipeline default) keeps exactly the current
+  snapshot — byte-for-byte the pre-r4 behavior.
+- retain_snapshots=k keeps the k newest superseded data dirs readable
+  by snapshot_seq; older ones expire but stay in the log, flagged.
+- rollback_to restores a retained snapshot as current, including its
+  manifest (so is_committed/resume answers for the restored input).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from amazon_textract_enhancer_spark.sources.tableio import TableIO
+
+
+def _commit(io, spark, name, values, snap_label):
+    df = spark.createDataFrame([(v,) for v in values], "v int")
+    return io.commit_stage(df, name, input_snapshot=snap_label)
+
+
+def _read_vals(io, spark, name, as_of=None):
+    return sorted(
+        r["v"] for r in io.read_table(spark, name, as_of=as_of).collect()
+    )
+
+
+def test_retention_zero_matches_old_behavior(spark, tmp_path):
+    io = TableIO(str(tmp_path / "wh"))
+    m1 = _commit(io, spark, "t", [1, 2], "s1")
+    m2 = _commit(io, spark, "t", [3, 4], "s2")
+    assert (m1["snapshot_seq"], m2["snapshot_seq"]) == (1, 2)
+    assert _read_vals(io, spark, "t") == [3, 4]
+    # no snap dirs on disk; old snapshot unreadable with a clear error
+    tdir = io.table_path("t")
+    assert not [d for d in os.listdir(tdir) if d.startswith("snap-")]
+    with pytest.raises(ValueError, match="expired or unknown"):
+        io.read_table(spark, "t", as_of=1)
+    # current seq IS addressable as_of (reads data/)
+    assert _read_vals(io, spark, "t", as_of=2) == [3, 4]
+    # log keeps full history even at retention 0
+    log = io.read_snaplog("t")
+    assert [e["snapshot_seq"] for e in log] == [1, 2]
+    assert log[0].get("expired") is True
+
+
+def test_time_travel_reads_superseded_snapshot(spark, tmp_path):
+    io = TableIO(str(tmp_path / "wh"), retain_snapshots=2)
+    _commit(io, spark, "t", [1], "s1")
+    _commit(io, spark, "t", [2, 2], "s2")
+    _commit(io, spark, "t", [3, 3, 3], "s3")
+    assert _read_vals(io, spark, "t") == [3, 3, 3]
+    assert _read_vals(io, spark, "t", as_of=1) == [1]
+    assert _read_vals(io, spark, "t", as_of=2) == [2, 2]
+    # a 4th commit expires seq 1 (keep 2: seqs 2,3 retained)
+    _commit(io, spark, "t", [4], "s4")
+    with pytest.raises(ValueError, match="expired or unknown"):
+        io.read_table(spark, "t", as_of=1)
+    assert _read_vals(io, spark, "t", as_of=2) == [2, 2]
+    assert _read_vals(io, spark, "t", as_of=3) == [3, 3, 3]
+    log = io.read_snaplog("t")
+    assert [e["snapshot_seq"] for e in log] == [1, 2, 3, 4]
+    assert [e["snapshot_seq"] for e in log if e.get("expired")] == [1]
+
+
+def test_rollback_restores_data_and_resume_identity(spark, tmp_path):
+    io = TableIO(str(tmp_path / "wh"), retain_snapshots=2)
+    _commit(io, spark, "t", [1], "s1")
+    _commit(io, spark, "t", [2], "s2")
+    m = io.rollback_to("t", 1)
+    assert m["snapshot_seq"] == 1 and m["input_snapshot"] == "s1"
+    assert _read_vals(io, spark, "t") == [1]
+    # resume semantics follow the restored manifest
+    assert io.is_committed("t", "s1", "v1")
+    assert not io.is_committed("t", "s2", "v1")
+    # the replaced current became a retained snapshot — roll forward works
+    assert _read_vals(io, spark, "t", as_of=2) == [2]
+    io.rollback_to("t", 2)
+    assert _read_vals(io, spark, "t") == [2]
+    # a fresh commit after rollback gets a NEW head seq (log max + 1)
+    m3 = _commit(io, spark, "t", [9], "s3")
+    assert m3["snapshot_seq"] == 3
+    assert _read_vals(io, spark, "t", as_of=2) == [2]
+
+
+def test_rollback_to_current_is_noop_and_unknown_raises(spark, tmp_path):
+    io = TableIO(str(tmp_path / "wh"), retain_snapshots=1)
+    _commit(io, spark, "t", [1], "s1")
+    assert io.rollback_to("t", 1)["snapshot_seq"] == 1
+    with pytest.raises(ValueError):
+        io.rollback_to("t", 7)
+
+
+def test_explicit_expire_and_audit_trail(spark, tmp_path):
+    io = TableIO(str(tmp_path / "wh"), retain_snapshots=5)
+    for i, label in enumerate(["s1", "s2", "s3"], start=1):
+        _commit(io, spark, "t", [i], label)
+    assert io.expire_snapshots("t", keep=1) == [1]
+    with pytest.raises(ValueError):
+        io.read_table(spark, "t", as_of=1)
+    assert _read_vals(io, spark, "t", as_of=2) == [2]
+    # expired entries stay in the log for lineage audit
+    assert [e["snapshot_seq"] for e in io.read_snaplog("t")] == [1, 2, 3]
