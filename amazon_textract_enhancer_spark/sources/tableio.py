@@ -136,6 +136,7 @@ class TableIO:
         partition_by: str | None = None,
         range_col: str | None = None,
         sort_within: list[str] | None = None,
+        extra: dict | None = None,
     ) -> dict:
         """Write ``df`` as stage output ``name``; no-op if the same
         (input_snapshot, config_hash) is already committed (resume).
@@ -230,6 +231,8 @@ class TableIO:
             "range_col": range_col,
             "sort_within": sort_within,
         }
+        if extra:
+            manifest.update(extra)
         tmp_manifest = self.manifest_path(name) + ".tmp"
         with open(tmp_manifest, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)

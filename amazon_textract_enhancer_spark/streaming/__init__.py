@@ -284,3 +284,80 @@ def stream_dedup_exact(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_stream_landing(
+    spark: SparkSession,
+    landing_dir: str,
+    io: TableIO,
+    name: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 16,
+    snapshot_cols: tuple[str, ...] = ("conv_id", "turn_idx", "extracted_text"),
+    config_hash: str = "compact-v1",
+) -> dict:
+    """Compact a streaming landing zone into a bucketed serving table —
+    the Iceberg ``rewrite_data_files`` analog for THIS architecture's
+    one real small-file source.
+
+    Batch commits always rewrite whole tables in n_buckets files, so
+    they never fragment; but every availableNow micro-batch of
+    ``stream_extract`` appends its own task files to the sink dir, and
+    at production cadence (a trigger per arrival window, 10^12-turn
+    corpus) the landing zone accumulates millions of small parquet
+    files — each a ~KB-scale footer-bound read at serving time. This
+    operator reads the landing zone ONCE, shuffles once into the
+    standard bucket layout (co-locating each conv_id for the serving
+    paths), and commits through the normal TableIO protocol, so the
+    compacted table gets lineage counters, snapshot history, and
+    resume-idempotence for free: re-running over an unchanged landing
+    zone is a manifest no-op, and a landing zone that grew (new
+    micro-batches) gets a NEW content snapshot id and a fresh rewrite.
+
+    The manifest records a ``compaction`` block (source file count /
+    bytes → output file count / bytes) so the rewrite is auditable.
+
+    At 100 TB the same op is Iceberg's bin-packing rewrite scheduled
+    off the snapshot log; here it composes with retain_snapshots for
+    time travel across compactions.
+    """
+    def _dir_stats(path: str) -> tuple[int, int]:
+        files = bytes_ = 0
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files += 1
+                    bytes_ += os.path.getsize(os.path.join(root, n))
+        return files, bytes_
+
+    from ..sources.tableio import snapshot_id_of
+
+    df = spark.read.parquet(landing_dir)
+    snap = snapshot_id_of(df, list(snapshot_cols))
+    if io.is_committed(name, snap, config_hash):
+        return io.read_manifest(name)
+    src_files, src_bytes = _dir_stats(landing_dir)
+    manifest = io.commit_stage(
+        df,
+        name,
+        snap,
+        config_hash,
+        bucket_col=bucket_col,
+        n_buckets=n_buckets,
+        extra={"compaction": {
+            "source_dir": landing_dir,
+            "source_files": src_files,
+            "source_bytes": src_bytes,
+        }},
+    )
+    out_files, out_bytes = _dir_stats(io.data_path(name))
+    manifest["compaction"].update(
+        {"output_files": out_files, "output_bytes": out_bytes}
+    )
+    tmp = io.manifest_path(name) + ".tmp"
+    import json as _json
+
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, io.manifest_path(name))
+    return manifest
