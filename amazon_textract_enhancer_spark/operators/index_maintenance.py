@@ -101,11 +101,13 @@ def refresh_serving_index(
 
 
 def _merged(io: TableIO, spark: SparkSession, main_name: str, delta_name: str) -> DataFrame:
-    main = io.read_table(spark, main_name)
     if io.read_manifest(delta_name) is None:
-        return main
-    stale = io.read_table(spark, "index_stale_convs")
+        return io.read_table(spark, main_name)
     delta = io.read_table(spark, delta_name)
+    if io.read_manifest(main_name) is None:
+        return delta  # bootstrap: first refresh ran before any main commit
+    main = io.read_table(spark, main_name)
+    stale = io.read_table(spark, "index_stale_convs")
     return main.join(F.broadcast(stale), "conv_id", "left_anti").unionByName(delta)
 
 

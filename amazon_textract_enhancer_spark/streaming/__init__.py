@@ -56,6 +56,7 @@ def incremental_extract(
     have_prev = io.read_manifest("extracted_spans") is not None and (
         io.read_manifest("conv_fingerprints") is not None
     )
+    deleted = None
     if not have_prev:
         changed = fp_new
         reused_spans = None
@@ -68,6 +69,7 @@ def incremental_extract(
             F.col("o.fp").isNull() | (F.col("n.fp") != F.col("o.fp"))
         ).select(F.col("n.conv_id").alias("conv_id"), F.col("n.fp").alias("fp"),
                  F.col("n.n_turns").alias("n_turns"))
+        deleted = fp_old.join(fp_new, "conv_id", "left_anti").select("conv_id")
         prev_spans = io.read_table(spark, "extracted_spans")
         reused_spans = prev_spans.join(changed, "conv_id", "left_anti")
         # drop spans for conversations deleted from the new snapshot
@@ -84,6 +86,17 @@ def incremental_extract(
     snap = snapshot_id_of(new_transcripts, ["conv_id", "turn_idx", "text"])
     n_changed = changed.count()
     n_total = fp_new.count()
+    # CDC record of this refresh's diff — committed FIRST (it reads the
+    # OLD fingerprint table, which the fp_new commit below replaces) so
+    # downstream incremental consumers (the main+delta serving-index
+    # refresh, dedup_incremental, …) can read exactly which convs this
+    # snapshot superseded or deleted, with lineage
+    diff = changed.select("conv_id").withColumn("change_kind", F.lit("changed"))
+    if deleted is not None:
+        diff = diff.unionByName(
+            deleted.withColumn("change_kind", F.lit("deleted"))
+        )
+    io.commit_stage(diff, "refresh_changed_convs", snap, "incremental-v1")
     manifest = io.commit_stage(
         merged, "extracted_spans", snap, "incremental-v1",
         counter_cols=["counters.blocks_parsed"], bucket_col="conv_id",
@@ -94,6 +107,38 @@ def incremental_extract(
         "reused_convs": n_total - n_changed,
         "manifest": manifest,
     }
+
+
+def incremental_extract_with_index(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    warehouse: str,
+    n_buckets: int = 16,
+) -> dict:
+    """The production refresh composition: snapshot-diff re-extraction
+    (``incremental_extract``) followed by a main+delta serving-index
+    refresh (``operators.index_maintenance``) fed from the committed
+    CDC diff — end to end, a transcript-table edit flows through to
+    BM25-ready serving tables at cost ∝ the diff, with the main index
+    untouched. Equality with a from-scratch pipeline run is pinned in
+    tests/test_index_maintenance.py."""
+    from ..operators.index_maintenance import refresh_serving_index
+
+    res = incremental_extract(spark, new_transcripts, warehouse)
+    io = TableIO(warehouse)
+    snap = res["manifest"]["input_snapshot"]
+    diff = io.read_table(spark, "refresh_changed_convs")
+    changed_ids = diff.filter(F.col("change_kind") == "changed").select("conv_id")
+    # no broadcast hint: at steady state the diff is tiny and AQE
+    # broadcasts it; on the bootstrap run the "diff" is the whole
+    # corpus and a forced broadcast would be wrong
+    changed_spans = io.read_table(spark, "extracted_spans").join(
+        changed_ids, "conv_id", "left_semi"
+    )
+    res["index"] = refresh_serving_index(
+        spark, io, changed_spans, diff.select("conv_id"), snap, n_buckets=n_buckets
+    )
+    return res
 
 
 def stream_extract(

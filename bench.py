@@ -252,6 +252,9 @@ def main() -> None:
             "efficiency_full_pipeline_clean": sr.get(
                 "efficiency_full_pipeline_clean"
             ),
+            "efficiency_full_pipeline_beststage": sr.get(
+                "efficiency_full_pipeline_beststage"
+            ),
             "steal_note": (
                 "clean = least-host-CPU-steal rep per master (steal "
                 "measured per run from /proc/stat; overcommitted-host "
@@ -268,6 +271,7 @@ def main() -> None:
             "eff_full_pipeline": sr.get("efficiency_full_pipeline"),
             "eff_extract_clean": sr.get("efficiency_clean"),
             "eff_full_clean": sr.get("efficiency_full_pipeline_clean"),
+            "eff_full_beststage": sr.get("efficiency_full_pipeline_beststage"),
             "gate_0.8": sr.get("gate_0.8"),
         }
 

@@ -71,15 +71,18 @@ def test_refresh_merge_equals_full_rebuild_and_main_untouched(spark, io):
 
     # corpus v2: convs 0-1 change (re-seeded content), conv 2 deleted,
     # one brand-new batch arrives
-    keep = spans_v1.filter(~F.col("conv_id").rlike("s11-conv-000[012]$"))
+    keep = spans_v1.filter(~F.col("conv_id").rlike("s11-conv0000000[012]$"))
     changed_new = _spans(spark, {21: 2}).withColumn(
         "conv_id", F.regexp_replace("conv_id", "^s21-", "s11-")
-    ).filter(F.col("conv_id").rlike("s11-conv-000[01]$"))
+    ).filter(F.col("conv_id").rlike("s11-conv0000000[01]$"))
     added = _spans(spark, {31: 3})
     spans_v2 = keep.unionByName(changed_new).unionByName(added).cache()
+    # non-vacuity: the change/delete filters actually selected convs
+    assert changed_new.select("conv_id").distinct().count() == 2
+    assert spans_v1.count() - keep.count() > 0
 
     stale = spark.createDataFrame(
-        [(f"s11-conv-000{i}",) for i in range(3)], "conv_id string"
+        [(f"s11-conv0000000{i}",) for i in range(3)], "conv_id string"
     )
     refresh_serving_index(
         spark, io, changed_new.unionByName(added), stale, "v2", n_buckets=4
@@ -97,8 +100,8 @@ def test_refresh_merge_equals_full_rebuild_and_main_untouched(spark, io):
     # second refresh before compaction: conv s31-conv-0000 changes again
     changed2 = _spans(spark, {41: 1}).withColumn(
         "conv_id", F.regexp_replace("conv_id", "^s41-", "s31-"))
-    stale2 = spark.createDataFrame([("s31-conv-0000",)], "conv_id string")
-    spans_v3 = spans_v2.filter(F.col("conv_id") != "s31-conv-0000").unionByName(
+    stale2 = spark.createDataFrame([("s31-conv00000000",)], "conv_id string")
+    spans_v3 = spans_v2.filter(F.col("conv_id") != "s31-conv00000000").unionByName(
         changed2).cache()
     refresh_serving_index(spark, io, changed2, stale2, "v3", n_buckets=4)
     assert _rows(read_tokens_merged(spark, io)) == _rows(_index_of(spans_v3))
@@ -141,3 +144,48 @@ def test_bm25_over_merged_matches_rebuild(spark, io):
     got = _rows(c5_search_bm25_indexed(toks_m, dl_m, stats["n"], stats["a"], terms))
     want = _rows(c5_search_bm25_indexed(toks_r, dl_r, stats["n"], stats["a"], terms))
     assert got == want and len(got) > 0
+
+
+def test_incremental_extract_with_index_end_to_end(spark, tmp_path):
+    """Production composition: transcript-table edits flow through
+    incremental_extract into the delta index; merged serving view ==
+    index rebuilt from a from-scratch extraction at every step."""
+    from amazon_textract_enhancer_spark.streaming import (
+        incremental_extract_with_index,
+    )
+
+    wh = str(tmp_path / "wh")
+    rows, _ = generate_transcripts(seed=7, n_convs=6)
+    v1 = spark.createDataFrame(rows_to_pandas(rows), schema=TRANSCRIPT_SCHEMA).cache()
+
+    res1 = incremental_extract_with_index(spark, v1, wh, n_buckets=4)
+    assert res1["changed_convs"] == 6
+    io = TableIO(wh)
+    assert _rows(read_tokens_merged(spark, io)) == _rows(_index_of(extract_spans(v1)))
+
+    # v2: edit one conv's text, delete one conv, add two new convs
+    rows2, _ = generate_transcripts(seed=8, n_convs=2)
+    added = spark.createDataFrame(rows_to_pandas(rows2), schema=TRANSCRIPT_SCHEMA
+                                  ).withColumn("conv_id", F.concat(F.lit("new-"), "conv_id"))
+    v2 = (
+        v1.filter(F.col("conv_id") != "conv00000001")
+        .withColumn(
+            "text",
+            F.when(F.col("conv_id") == "conv00000000",
+                   F.concat(F.col("text"), F.lit(" edited token")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(added)
+        .cache()
+    )
+    res2 = incremental_extract_with_index(spark, v2, wh, n_buckets=4)
+    assert res2["changed_convs"] == 3  # 1 edited + 2 added
+    assert _rows(read_tokens_merged(spark, io)) == _rows(_index_of(extract_spans(v2)))
+    assert _rows(read_doc_lengths_merged(spark, io)) == _rows(
+        _index_of(extract_spans(v2)).groupBy("conv_id", "turn_idx")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+    )
+    # the CDC diff recorded the deletion
+    diff = {(r["conv_id"], r["change_kind"])
+            for r in io.read_table(spark, "refresh_changed_convs").collect()}
+    assert ("conv00000001", "deleted") in diff and ("conv00000000", "changed") in diff
