@@ -41,6 +41,7 @@ def run_extraction_pipeline(
     n_buckets: int = 16,
     input_snapshot: str | None = None,
     stages: list[str] | None = None,
+    retain_snapshots: int = 0,
 ) -> dict:
     """Run (or resume) the pipeline; returns manifests per stage plus a
     ``_stage_seconds`` timing map (per-stage wall, for the
@@ -51,7 +52,10 @@ def run_extraction_pipeline(
     table)."""
     run_set = set(stages) if stages is not None else set(STAGES)
     stage_seconds: dict[str, float] = {}
-    io = TableIO(warehouse)
+    # retain_snapshots > 0 keeps that many superseded table snapshots
+    # readable (time travel / rollback_to — the Iceberg history knob);
+    # 0 keeps only the current snapshot
+    io = TableIO(warehouse, retain_snapshots=retain_snapshots)
     if input_snapshot is None:
         # text included: a text-only edit must produce a new snapshot id,
         # else resume would silently serve stale spans (ADVICE round 1)

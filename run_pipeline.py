@@ -34,9 +34,14 @@ def main() -> None:
     # stages (stage-per-job scheduling; resume picks up prior commits).
     mode = "extract" if "--mode=extract" in sys.argv else "full"
     stages = None
+    retain_snapshots = 0
     for a in sys.argv:
         if a.startswith("--stages="):
             stages = a.split("=", 1)[1].split(",")
+        # --retain-snapshots=N: keep N superseded snapshots per table
+        # readable (time travel / rollback, the Iceberg history knob)
+        if a.startswith("--retain-snapshots="):
+            retain_snapshots = int(a.split("=", 1)[1])
     if fresh:
         shutil.rmtree(warehouse, ignore_errors=True)
 
@@ -67,7 +72,10 @@ def main() -> None:
         manifests_out = {}
     else:
         t0 = time.monotonic()
-        manifests = run_extraction_pipeline(spark, transcripts, warehouse, stages=stages)
+        manifests = run_extraction_pipeline(
+            spark, transcripts, warehouse, stages=stages,
+            retain_snapshots=retain_snapshots,
+        )
         wall = time.monotonic() - t0
         stage_seconds = manifests.pop("_stage_seconds", {})
         if "extracted_spans" in manifests:

@@ -189,3 +189,22 @@ def test_incremental_extract_with_index_end_to_end(spark, tmp_path):
     diff = {(r["conv_id"], r["change_kind"])
             for r in io.read_table(spark, "refresh_changed_convs").collect()}
     assert ("conv00000001", "deleted") in diff and ("conv00000000", "changed") in diff
+
+
+def test_merged_read_broadcasts_stale_list_no_main_shuffle(spark, io):
+    """Scale contract of the segment model: the query-time merge is
+    main ⟕anti(broadcast stale) ∪ delta — a map-side filter over the
+    main index. A hash-partition Exchange here would shuffle the
+    ~10^13-row main index per serving query."""
+    from amazon_textract_enhancer_spark.plans import executed_plan
+
+    spans_v1 = _spans(spark, {11: 4})
+    _bootstrap(spark, io, spans_v1)
+    refresh_serving_index(
+        spark, io, _spans(spark, {61: 1}),
+        spark.createDataFrame([("s11-conv00000000",)], "conv_id string"),
+        "v2", n_buckets=4,
+    )
+    plan = executed_plan(read_tokens_merged(spark, io))
+    assert "Broadcast" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
