@@ -122,6 +122,7 @@ SPARK_QUERIES = {
     # everything below is pytest-pinned only (oracle parity sweeps all
     # of ORACLE_SQL; rows-only ✂ queries get the determinism check)
     "text_bpe_token_estimate": textstats.text_bpe_token_estimate,
+    "text_bpe_train_merges": textstats.text_bpe_train_merges,
     "mm_decode_meta": multimodal.mm_decode_meta,
     "mm_frame_sample": multimodal.mm_frame_sample,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ✂
@@ -694,6 +695,50 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(nc AS INT) AS n_chunks, CAST(ce AS INT) AS n_char_est,
                CAST(greatest(nc, ce) AS INT) AS n_bpe_est
         FROM s
+    """,
+    # BPE vocabulary induction, 3 rounds: the twin replays the same
+    # greedy recurrence — distinct-word freqs → space-padded char
+    # symbols → per-round (adjacent-pair argmax, literal padded
+    # replace). replace() is left-to-right non-overlapping in BOTH
+    # engines (verified on ' a a a a '), which is what makes the merge
+    # application oracle-exact; ties break on pair ASC in both.
+    "text_bpe_train_merges": r"""
+        WITH words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), s0 AS (
+            SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, c FROM words
+        ), p1 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s0)
+        ), t1 AS (
+            SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p1 GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 1
+        ), s1 AS (
+            SELECT replace(s0.s, ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ') AS s, s0.c
+            FROM s0, t1
+        ), p2 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s1)
+        ), t2 AS (
+            SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p2 GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 1
+        ), s2 AS (
+            SELECT replace(s1.s, ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ') AS s, s1.c
+            FROM s1, t2
+        ), p3 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s2)
+        ), t3 AS (
+            SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p3 GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 1
+        )
+        SELECT CAST(1 AS INT) AS round, pair, replace(pair, ' ', '') AS merged, cnt AS pair_count FROM t1
+        UNION ALL SELECT CAST(2 AS INT), pair, replace(pair, ' ', ''), cnt FROM t2
+        UNION ALL SELECT CAST(3 AS INT), pair, replace(pair, ' ', ''), cnt FROM t3
+        ORDER BY round
     """,
     "sessionize_events": """
         WITH g AS (

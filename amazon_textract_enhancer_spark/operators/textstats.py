@@ -201,3 +201,79 @@ def pack_context_windows_greedy(
     return base.groupBy("lang").applyInPandas(
         pack, "doc_id bigint, lang string, n_tokens bigint, window_id bigint"
     )
+
+
+def bpe_train_merges(docs, text_col: str = "text", rounds: int = 3):
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016,
+    simplified): learn the first ``rounds`` merge operations over the
+    corpus. Returns (round, pair, merged, pair_count) — the merge
+    table a tokenizer would consume.
+
+    Scale shape (the classic BPE-training trick): the corpus is scanned
+    ONCE into a distinct-word frequency table (one shuffle, vocab-sized
+    — ~10^7-10^8 rows at 10^12 turns, vs the corpus' 10^12); every
+    merge round then runs over that small table: adjacent-pair counts
+    weighted by word frequency (one vocab-sized agg), global argmax
+    (ONE row to the driver per round — the same driver-coordination
+    budget as IVF's Lloyd iterations), and an expression-level merge
+    application. Symbols live in a space-padded string (" c a t ") so
+    the merge is a literal ``replace(" l r ", " lr ")`` — boundary-safe
+    (a padded pair can't match inside a longer symbol) and identical
+    left-to-right non-overlapping semantics in Spark and DuckDB
+    (verified on the ' a a a a ' overlap case), which is what makes the
+    exact oracle twin possible. Merge application is one such pass per
+    round (the reference algorithm re-scans until fixpoint; rounds can
+    simply be increased — each later round re-finds the remaining
+    occurrences). Ties break lexicographically on the pair."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # "cat" -> " c a t " (space-padded symbol string)
+    vocab = words.select(
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "c"
+    ).cache()
+    spark = docs.sparkSession
+    merges = []
+    cur = vocab
+    for r in range(1, rounds + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        n = F.size(arr)
+        pairs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat(
+                    F.element_at(arr, i + 1), F.lit(" "), F.element_at(arr, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select(F.explode(pairs).alias("pair"), "c")
+            .groupBy("pair")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] is None:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        merged = pair.replace(" ", "")
+        merges.append((r, pair, merged, cnt))
+        cur = cur.select(
+            F.replace("s", F.lit(f" {pair} "), F.lit(f" {merged} ")).alias("s"), "c"
+        )
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, pair string, merged string, pair_count long"
+    )
+
+
+def text_bpe_train_merges(spark, sf_dir):
+    """Registry form: first 3 BPE merges learned from `documents`."""
+    return bpe_train_merges(t(spark, sf_dir, "documents"), "text", rounds=3)
