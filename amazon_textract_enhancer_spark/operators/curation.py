@@ -504,3 +504,58 @@ def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rmse"), 6).alias("avg_rmse"),
         F.round(F.max("maxerr"), 6).alias("max_abs_err"),
     )
+
+
+MIX_ALPHA = 0.5
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+def mixture_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    alpha: float = MIX_ALPHA,
+    token_budget: int = MIX_TOKEN_BUDGET,
+) -> DataFrame:
+    """Data-MIXTURE weight table (★) — the sampling-weight computation
+    every multi-domain pretraining run performs (the GPT-3 / Pile /
+    DoReMi-baseline recipe): per (lang, source) domain, weight ∝
+    domain_tokens^alpha normalized over domains (alpha<1 flattens the
+    natural distribution toward the tail), then the per-domain token
+    budget w·B and the implied epoch count budget/domain_tokens — the
+    number every mixture card reports (epochs>1 = the domain repeats).
+
+    Plan shape: ONE corpus scan into a domains-sized agg (tokens
+    counted map-side inside the partial agg), then the normalizer via
+    an unpartitioned window over the tiny aggregated table (the
+    sample_temperature device — no second corpus scan, no driver
+    round-trip). At 10^12 turns the domain table is dozens of rows;
+    everything after the scan is free. alpha=0.5 uses sqrt so the
+    DuckDB twin is bit-stable (IEEE-correctly-rounded in both
+    engines); other alphas go through pow."""
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(_tokens())
+    domains = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("long").alias("domain_tokens"),
+    )
+    root = (
+        (lambda c: F.sqrt(c))
+        if alpha == 0.5
+        else (lambda c: F.pow(c, F.lit(alpha)))
+    )
+    wall = Window.partitionBy()
+    weight = root(F.col("domain_tokens")) / F.sum(
+        root(F.col("domain_tokens"))
+    ).over(wall)
+    return domains.select(
+        "lang",
+        "source",
+        "n_docs",
+        "domain_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * F.lit(float(token_budget)), 2).alias("budget_tokens"),
+        F.round(
+            weight * F.lit(float(token_budget)) / F.col("domain_tokens"), 4
+        ).alias("epochs"),
+    )

@@ -175,6 +175,10 @@ SPARK_QUERIES = {
     # every boundary decision is value-hash-pinned
     "pack_context_windows_greedy": textstats.pack_context_windows_greedy,
     "dedup_repeated_spans": cur.dedup_repeated_spans,
+    # round-4 additions (below the window by the registry rule; the
+    # pytest oracle-parity sweep carries them)
+    "mixture_weights": cur.mixture_weights,
+    "text_lm_perplexity": textstats.text_lm_perplexity,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1546,5 +1550,59 @@ ORACLE_SQL = {
         JOIN dl ON dl.doc_id = tf.doc_id
         GROUP BY tf.doc_id
         ORDER BY score DESC, tf.doc_id LIMIT 10
+    """,
+    # data-mixture weights: same normalizer-over-aggregate shape as
+    # sample_temperature (sqrt keeps both engines IEEE-exact)
+    "mixture_weights": f"""
+        WITH d AS (
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter({_TOK}, x -> x <> '')))
+                        AS BIGINT) AS domain_tokens
+            FROM documents GROUP BY lang, source
+        ), z AS (
+            SELECT sum(sqrt(domain_tokens)) AS z FROM d
+        )
+        SELECT lang, source, n_docs, domain_tokens,
+               round(sqrt(domain_tokens) / z, 6) AS weight,
+               round(sqrt(domain_tokens) / z * {cur.MIX_TOKEN_BUDGET}.0, 2)
+                   AS budget_tokens,
+               round(sqrt(domain_tokens) / z * {cur.MIX_TOKEN_BUDGET}.0
+                     / domain_tokens, 4) AS epochs
+        FROM d, z
+    """,
+    # bigram-LM perplexity: identical add-one-smoothed recurrence;
+    # tokens never contain spaces (split on [^a-z0-9]+), so the pair
+    # string is a safe join key in both engines
+    "text_lm_perplexity": f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), bigs AS (
+            SELECT doc_id,
+                   unnest([L[i] || ' ' || L[i+1]
+                           for i in generate_series(1, len(L) - 1)]) AS pair
+            FROM toks WHERE len(L) >= 2
+        ), b2 AS (
+            SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM bigs
+        ), uni AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+                SELECT unnest(L) AS w1 FROM toks
+            ) GROUP BY w1
+        ), vv AS (
+            SELECT count(*) AS vocab FROM uni
+        ), big AS (
+            SELECT pair, CAST(count(*) AS BIGINT) AS c12
+            FROM b2 GROUP BY pair
+        )
+        SELECT b2.doc_id,
+               CAST(count(*) AS INT) AS n_bigrams,
+               round(exp(avg(-ln((big.c12 + 1.0) / (uni.c1 + vv.vocab)))), 4)
+                   AS ppl
+        FROM b2
+        JOIN big ON big.pair = b2.pair
+        JOIN uni ON uni.w1 = b2.w1
+        CROSS JOIN vv
+        GROUP BY b2.doc_id
     """,
 }
