@@ -400,3 +400,55 @@ def x_sniff_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tdf.select(sniff_kind_udf()(F.col("text")).alias("kind")).groupBy(
         "kind"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SFT_CONTEXT_TURNS = 4
+
+
+def x_sft_context(spark: SparkSession, sf_dir: str,
+                  *, context_turns: int = SFT_CONTEXT_TURNS) -> DataFrame:
+    """SFT training-example ASSEMBLY (★) — the transcript-native
+    packaging step that turns the extracted corpus into supervised
+    fine-tuning pairs: for every assistant turn, the target is its
+    extracted text and the context is the previous ``context_turns``
+    turns rendered as "role: text" lines. This is the join between the
+    north-rule extraction output and an instruction-tuning data loader.
+
+    Plan shape: ONE window over the committed extracted_spans table
+    partitioned by conv_id (the table is bucketed by conv_id, so at
+    10^12 turns the sort is within-bucket and no extra exchange is
+    needed beyond the bucketed layout); collect_list over a rows-frame
+    preceding window + array_join builds the context without explode
+    or UDF. Deterministic: (conv_id, turn_idx) is unique, so the frame
+    order — and hence the joined string — is pinned; the DuckDB twin's
+    windowed string_agg replays the identical frame."""
+    from pyspark.sql import Window
+
+    spans = fixture_spans(spark, sf_dir)
+    line = F.concat(
+        F.col("role"), F.lit(": "),
+        F.coalesce(F.col("extracted_text"), F.lit("")),
+    )
+    base = spans.select(
+        "conv_id", "turn_idx", "role", line.alias("line"),
+        F.coalesce("extracted_text", F.lit("")).alias("target_text"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    return (
+        base.withColumn(
+            "context_text",
+            F.array_join(F.collect_list("line").over(w), "\n"),
+        )
+        .withColumn(
+            "n_context_turns", F.count(F.lit(1)).over(w).cast("int")
+        )
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id", "turn_idx", "n_context_turns",
+            "context_text", "target_text",
+        )
+    )

@@ -179,6 +179,8 @@ SPARK_QUERIES = {
     # pytest oracle-parity sweep carries them)
     "mixture_weights": cur.mixture_weights,
     "text_lm_perplexity": textstats.text_lm_perplexity,
+    "x_sft_context": xq.x_sft_context,
+    "text_bpe_encode": textstats.text_bpe_encode,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1604,5 +1606,85 @@ ORACLE_SQL = {
         JOIN uni ON uni.w1 = b2.w1
         CROSS JOIN vv
         GROUP BY b2.doc_id
+    """,
+    # SFT example assembly over the reference-extraction cache: the
+    # twin's windowed string_agg replays the identical 4-preceding
+    # rows frame, so context strings are byte-pinned vs the
+    # pure-Python extraction
+    "x_sft_context": f"""
+        WITH s AS (
+            SELECT conv_id, turn_idx, role,
+                   role || ': ' || coalesce(extracted_text, '') AS line,
+                   coalesce(extracted_text, '') AS target_text
+            FROM read_parquet('{_XSPANS}')
+        ), w AS (
+            SELECT conv_id, turn_idx, role, target_text,
+                   coalesce(string_agg(line, chr(10)) OVER f, '')
+                       AS context_text,
+                   CAST(count(line) OVER f AS INT) AS n_context_turns
+            FROM s
+            WINDOW f AS (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN {xq.SFT_CONTEXT_TURNS} PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT conv_id, turn_idx, n_context_turns, context_text,
+               target_text
+        FROM w WHERE role = 'assistant'
+    """,
+    # BPE encode: replays the 3-round training recurrence (same CTE
+    # chain as text_bpe_train_merges) and applies the merges to the
+    # distinct-word vocab, then joins the per-doc word stream
+    "text_bpe_encode": r"""
+        WITH words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), s0 AS (
+            SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, c FROM words
+        ), p1 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s0)
+        ), t1 AS (
+            SELECT pair FROM p1 GROUP BY pair
+            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
+        ), s1 AS (
+            SELECT replace(s0.s, ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ') AS s, s0.c
+            FROM s0, t1
+        ), p2 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s1)
+        ), t2 AS (
+            SELECT pair FROM p2 GROUP BY pair
+            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
+        ), s2 AS (
+            SELECT replace(s1.s, ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ') AS s, s1.c
+            FROM s1, t2
+        ), p3 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s2)
+        ), t3 AS (
+            SELECT pair FROM p3 GROUP BY pair
+            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
+        ), enc AS (
+            SELECT w,
+                   len(string_split(trim(
+                       replace(replace(replace(
+                           ' ' || regexp_replace(v.w, '(.)', '\1 ', 'g'),
+                           ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+                           ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+                           ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ')
+                   ), ' ')) AS n_sym
+            FROM (SELECT w FROM words) v, t1, t2, t3
+        ), dwords AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS w
+            FROM documents
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+               CAST(sum(enc.n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM dwords JOIN enc USING (w)
+        GROUP BY doc_id
     """,
 }
