@@ -181,6 +181,7 @@ SPARK_QUERIES = {
     "text_lm_perplexity": textstats.text_lm_perplexity,
     "x_sft_context": xq.x_sft_context,
     "text_bpe_encode": textstats.text_bpe_encode,
+    "embed_kmeans": similarity.embed_kmeans,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1686,5 +1687,82 @@ ORACLE_SQL = {
                CAST(sum(enc.n_sym) AS BIGINT) AS n_bpe_tokens
         FROM dwords JOIN enc USING (w)
         GROUP BY doc_id
+    """,
+    # fixed-iteration Lloyd k-means, unrolled (k=4, 2 iterations):
+    # 6dp rounding on every distance and centroid component pins the
+    # trajectory, so both engines take identical argmin decisions
+    # (same recursive-twin discipline as mm_adpcm_stats / BPE train)
+    "embed_kmeans": """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cent_id, v AS cv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+        ), d1 AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                                   for i in generate_series(1, len(e.v))]), 6)
+                       AS d
+            FROM e CROSS JOIN c0 c
+        ), a1 AS (
+            SELECT vec_id, cent_id AS cluster FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cent_id) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ), m1 AS (
+            SELECT cluster, dim, round(avg(x), 6) AS m
+            FROM (
+                SELECT a1.cluster,
+                       unnest(generate_series(1, len(e.v))) AS dim,
+                       unnest(e.v) AS x
+                FROM a1 JOIN e USING (vec_id)
+            ) GROUP BY cluster, dim
+        ), c1 AS (
+            SELECT cluster AS cent_id, list(m ORDER BY dim) AS cv
+            FROM m1 GROUP BY cluster
+        ), d2 AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                                   for i in generate_series(1, len(e.v))]), 6)
+                       AS d
+            FROM e CROSS JOIN c1 c
+        ), a2 AS (
+            SELECT vec_id, cent_id AS cluster FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cent_id) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ), m2 AS (
+            SELECT cluster, dim, round(avg(x), 6) AS m
+            FROM (
+                SELECT a2.cluster,
+                       unnest(generate_series(1, len(e.v))) AS dim,
+                       unnest(e.v) AS x
+                FROM a2 JOIN e USING (vec_id)
+            ) GROUP BY cluster, dim
+        ), c2 AS (
+            SELECT cluster AS cent_id, list(m ORDER BY dim) AS cv
+            FROM m2 GROUP BY cluster
+        ), df AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                                   for i in generate_series(1, len(e.v))]), 6)
+                       AS d
+            FROM e CROSS JOIN c2 c
+        ), af AS (
+            SELECT vec_id, cent_id AS cluster, d FROM (
+                SELECT vec_id, cent_id, d,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cent_id) AS rn
+                FROM df
+            ) WHERE rn = 1
+        )
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(sum(d), 2) AS inertia
+        FROM af GROUP BY cluster
     """,
 }

@@ -497,3 +497,98 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_centroids: int = IVF_N_CENT
     wh = ivf_warehouse_for(sf_dir)
     ivf_build_index(spark, emb, wh, n_centroids=n_centroids)
     return ivf_search(spark, wh, nprobe=nprobe, k=k)
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def embed_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = KMEANS_K,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Fixed-iteration Lloyd K-MEANS over the embedding column (★) —
+    the topic-balance / corpus-clustering primitive (cluster-then-
+    sample curation, SemDeDup-style semantic grouping). Unlike the ✂
+    IVF build (spherical, committed index), this is the plain
+    Euclidean form with a fully deterministic recurrence, which is
+    what makes an EXACT DuckDB twin possible: init = the k smallest
+    vec_ids' vectors; each iteration assigns by 6dp-ROUNDED squared
+    distance (ties → smallest cent_id) and recomputes means rounded
+    to 6dp — the rounding pins every argmin decision and every
+    centroid component across engines, so the twin replays the
+    identical trajectory (the mm_adpcm recursive-twin discipline
+    applied to an iterative ML algorithm).
+
+    Scale shape: per iteration ONE broadcast of the k-row centroid
+    table, map-side min_by argmin (the n×k expansion never crosses a
+    shuffle), and one (cluster, dim)-keyed mean agg — k·d rows out.
+    No driver traffic at all inside the loop (the loop is unrolled
+    into the plan; n_iters is fixed, the production form of
+    "iterate until budget"). Returns per-cluster size and inertia —
+    the convergence audit every clustering run reports."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seed = emb.orderBy("vec_id").limit(k)
+    cents = seed.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int")
+        .alias("cent_id"),
+        F.col("v").alias("cv"),
+    )
+
+    def dist():
+        return F.round(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    for _ in range(n_iters):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.first("v").alias("v"),
+                F.min_by(
+                    "cent_id",
+                    F.struct(dist().alias("d"), F.col("cent_id").alias("c")),
+                ).alias("cluster"),
+            )
+        )
+        cents = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("a"))
+            .select(
+                F.col("cluster").alias("cent_id"),
+                F.transform("a", lambda s: s["m"]).alias("cv"),
+            )
+        )
+    final = (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cent_id",
+                F.struct(dist().alias("d"), F.col("cent_id").alias("c")),
+            ).alias("cluster"),
+            F.min(dist()).alias("d"),
+        )
+    )
+    return final.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.sum("d"), 2).alias("inertia"),
+    )

@@ -217,7 +217,9 @@ def main() -> None:
                    "mm_gif_stats", "mm_mulaw_stats", "mm_video_rle_stats",
                    "mm_jpeg_stats", "dedup_incremental",
                    "pack_context_windows_greedy", "dedup_repeated_spans",
-                   "mm_jpeg_color_stats", "mm_adpcm_stats", "c5_search_bm25_topk")
+                   "mm_jpeg_color_stats", "mm_adpcm_stats", "c5_search_bm25_topk",
+                   "mixture_weights", "text_lm_perplexity", "x_sft_context",
+                   "text_bpe_encode", "embed_kmeans")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})
