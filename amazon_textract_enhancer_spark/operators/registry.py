@@ -182,9 +182,88 @@ SPARK_QUERIES = {
     "x_sft_context": xq.x_sft_context,
     "text_bpe_encode": textstats.text_bpe_encode,
     "embed_kmeans": similarity.embed_kmeans,
+    "dedup_semantic": similarity.dedup_semantic,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+
+# shared CTE chain for the deterministic Lloyd k-means twins
+# (embed_kmeans ★ and dedup_semantic ★): k=4, 2 unrolled iterations,
+# 6dp rounding on every distance and centroid component pins the
+# trajectory so both engines take identical argmin decisions (the
+# mm_adpcm_stats / BPE-train recursive-twin discipline). Ends at the
+# FINAL assignment table `af(vec_id, cluster, d)`; consumers append
+# their own closing SELECT (or further CTEs).
+_KMEANS_CTES = """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cent_id, v AS cv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+        ), d1 AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                                   for i in generate_series(1, len(e.v))]), 6)
+                       AS d
+            FROM e CROSS JOIN c0 c
+        ), a1 AS (
+            SELECT vec_id, cent_id AS cluster FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cent_id) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ), m1 AS (
+            SELECT cluster, dim, round(avg(x), 6) AS m
+            FROM (
+                SELECT a1.cluster,
+                       unnest(generate_series(1, len(e.v))) AS dim,
+                       unnest(e.v) AS x
+                FROM a1 JOIN e USING (vec_id)
+            ) GROUP BY cluster, dim
+        ), c1 AS (
+            SELECT cluster AS cent_id, list(m ORDER BY dim) AS cv
+            FROM m1 GROUP BY cluster
+        ), d2 AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                                   for i in generate_series(1, len(e.v))]), 6)
+                       AS d
+            FROM e CROSS JOIN c1 c
+        ), a2 AS (
+            SELECT vec_id, cent_id AS cluster FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cent_id) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ), m2 AS (
+            SELECT cluster, dim, round(avg(x), 6) AS m
+            FROM (
+                SELECT a2.cluster,
+                       unnest(generate_series(1, len(e.v))) AS dim,
+                       unnest(e.v) AS x
+                FROM a2 JOIN e USING (vec_id)
+            ) GROUP BY cluster, dim
+        ), c2 AS (
+            SELECT cluster AS cent_id, list(m ORDER BY dim) AS cv
+            FROM m2 GROUP BY cluster
+        ), df AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                                   for i in generate_series(1, len(e.v))]), 6)
+                       AS d
+            FROM e CROSS JOIN c2 c
+        ), af AS (
+            SELECT vec_id, cent_id AS cluster, d FROM (
+                SELECT vec_id, cent_id, d,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cent_id) AS rn
+                FROM df
+            ) WHERE rn = 1
+        )
+"""
 
 # shared recursive-CTE block: near-dup pair graph (3-gram jaccard >=
 # 0.8) → transitive closure → min-label per vertex. Used by the
@@ -1692,77 +1771,34 @@ ORACLE_SQL = {
     # 6dp rounding on every distance and centroid component pins the
     # trajectory, so both engines take identical argmin decisions
     # (same recursive-twin discipline as mm_adpcm_stats / BPE train)
-    "embed_kmeans": """
-        WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ), c0 AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-                       AS cent_id, v AS cv
-            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
-        ), d1 AS (
-            SELECT e.vec_id, c.cent_id,
-                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
-                                   for i in generate_series(1, len(e.v))]), 6)
-                       AS d
-            FROM e CROSS JOIN c0 c
-        ), a1 AS (
-            SELECT vec_id, cent_id AS cluster FROM (
-                SELECT vec_id, cent_id,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY d, cent_id) AS rn
-                FROM d1
-            ) WHERE rn = 1
-        ), m1 AS (
-            SELECT cluster, dim, round(avg(x), 6) AS m
-            FROM (
-                SELECT a1.cluster,
-                       unnest(generate_series(1, len(e.v))) AS dim,
-                       unnest(e.v) AS x
-                FROM a1 JOIN e USING (vec_id)
-            ) GROUP BY cluster, dim
-        ), c1 AS (
-            SELECT cluster AS cent_id, list(m ORDER BY dim) AS cv
-            FROM m1 GROUP BY cluster
-        ), d2 AS (
-            SELECT e.vec_id, c.cent_id,
-                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
-                                   for i in generate_series(1, len(e.v))]), 6)
-                       AS d
-            FROM e CROSS JOIN c1 c
-        ), a2 AS (
-            SELECT vec_id, cent_id AS cluster FROM (
-                SELECT vec_id, cent_id,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY d, cent_id) AS rn
-                FROM d2
-            ) WHERE rn = 1
-        ), m2 AS (
-            SELECT cluster, dim, round(avg(x), 6) AS m
-            FROM (
-                SELECT a2.cluster,
-                       unnest(generate_series(1, len(e.v))) AS dim,
-                       unnest(e.v) AS x
-                FROM a2 JOIN e USING (vec_id)
-            ) GROUP BY cluster, dim
-        ), c2 AS (
-            SELECT cluster AS cent_id, list(m ORDER BY dim) AS cv
-            FROM m2 GROUP BY cluster
-        ), df AS (
-            SELECT e.vec_id, c.cent_id,
-                   round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
-                                   for i in generate_series(1, len(e.v))]), 6)
-                       AS d
-            FROM e CROSS JOIN c2 c
-        ), af AS (
-            SELECT vec_id, cent_id AS cluster, d FROM (
-                SELECT vec_id, cent_id, d,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY d, cent_id) AS rn
-                FROM df
-            ) WHERE rn = 1
-        )
+    "embed_kmeans": _KMEANS_CTES + """
         SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
                round(sum(d), 2) AS inertia
         FROM af GROUP BY cluster
+    """,
+    # SemDeDup: within-cluster cosine pairs over the SAME pinned
+    # k-means trajectory; drop rule = exists smaller-id neighbour with
+    # 6dp-rounded cosine >= 0.45 (keep-first, deterministic)
+    "dedup_semantic": _KMEANS_CTES + """
+        , prs AS (
+            SELECT b.vec_id AS vec_id, b.cluster AS cluster,
+                   a.vec_id AS keep_id,
+                   round(list_sum([ea.v[i] * eb.v[i]
+                                   for i in generate_series(1, len(ea.v))])
+                         / (sqrt(list_sum([ea.v[i] * ea.v[i]
+                                 for i in generate_series(1, len(ea.v))]))
+                            * sqrt(list_sum([eb.v[i] * eb.v[i]
+                                 for i in generate_series(1, len(eb.v))]))),
+                         6) AS cos
+            FROM af a
+            JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+        )
+        SELECT vec_id, cluster,
+               min(keep_id) AS duplicate_of,
+               max(cos) AS max_cos
+        FROM prs WHERE cos >= 0.45
+        GROUP BY vec_id, cluster
     """,
 }

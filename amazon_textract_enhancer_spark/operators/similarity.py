@@ -501,6 +501,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_centroids: int = IVF_N_CENT
 
 KMEANS_K = 4
 KMEANS_ITERS = 2
+SEMDEDUP_TAU = 0.45
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _round_dist() -> Column:
+    """6dp-rounded squared euclidean distance between columns v and
+    cv — the rounding pins every argmin decision across engines."""
+    return F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _lloyd_centroids(emb: DataFrame, k: int, n_iters: int) -> DataFrame:
+    """``n_iters`` unrolled Lloyd rounds; returns the final
+    (cent_id, cv) table. Init = the k smallest vec_ids' vectors;
+    assignment by 6dp-rounded distance (ties -> smallest cent_id),
+    means re-rounded to 6dp, so the trajectory is engine-independent.
+    Per round: one k-row broadcast + map-side argmin + one
+    (cluster, dim) mean agg — no driver traffic inside the loop."""
+    from pyspark.sql import Window
+
+    cents = emb.orderBy("vec_id").limit(k).select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int")
+        .alias("cent_id"),
+        F.col("v").alias("cv"),
+    )
+    for _ in range(n_iters):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.first("v").alias("v"),
+                F.min_by(
+                    "cent_id",
+                    F.struct(_round_dist().alias("d"),
+                             F.col("cent_id").alias("c")),
+                ).alias("cluster"),
+            )
+        )
+        cents = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("a"))
+            .select(
+                F.col("cluster").alias("cent_id"),
+                F.transform("a", lambda s: s["m"]).alias("cv"),
+            )
+        )
+    return cents
 
 
 def embed_kmeans(
@@ -530,65 +593,84 @@ def embed_kmeans(
     into the plan; n_iters is fixed, the production form of
     "iterate until budget"). Returns per-cluster size and inertia —
     the convergence audit every clustering run reports."""
-    from pyspark.sql import Window
-
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    seed = emb.orderBy("vec_id").limit(k)
-    cents = seed.select(
-        (F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .cast("int")
-        .alias("cent_id"),
-        F.col("v").alias("cv"),
-    )
-
-    def dist():
-        return F.round(
-            F.aggregate(
-                F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
-    for _ in range(n_iters):
-        assigned = (
-            emb.crossJoin(F.broadcast(cents))
-            .groupBy("vec_id")
-            .agg(
-                F.first("v").alias("v"),
-                F.min_by(
-                    "cent_id",
-                    F.struct(dist().alias("d"), F.col("cent_id").alias("c")),
-                ).alias("cluster"),
-            )
-        )
-        cents = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("a"))
-            .select(
-                F.col("cluster").alias("cent_id"),
-                F.transform("a", lambda s: s["m"]).alias("cv"),
-            )
-        )
+    emb = _emb_double(spark, sf_dir)
+    cents = _lloyd_centroids(emb, k, n_iters)
     final = (
         emb.crossJoin(F.broadcast(cents))
         .groupBy("vec_id")
         .agg(
             F.min_by(
                 "cent_id",
-                F.struct(dist().alias("d"), F.col("cent_id").alias("c")),
+                F.struct(_round_dist().alias("d"),
+                         F.col("cent_id").alias("c")),
             ).alias("cluster"),
-            F.min(dist()).alias("d"),
+            F.min(_round_dist()).alias("d"),
         )
     )
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(F.sum("d"), 2).alias("inertia"),
+    )
+
+
+def dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = KMEANS_K,
+    n_iters: int = KMEANS_ITERS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (★) — Abbas et al. 2023's
+    cluster-then-compare recipe: k-means first, then cosine pairs
+    ONLY within each cluster, so the O(n^2) pair space shrinks to
+    within-cluster blocks (at 10^12 rows with k ~ n/target_block the
+    per-block pair count is bounded; a skewed cluster takes the same
+    salting treatment as F2). Reuses the deterministic Lloyd loop of
+    ``embed_kmeans`` (same 6dp-pinned trajectory, so the DuckDB twin
+    replays identical assignments), then drops every vector that has
+    a same-cluster neighbour with 6dp-rounded cosine >= tau and a
+    SMALLER vec_id (keep-first rule — deterministic, no RNG).
+    Returns the dropped rows with their keeper (min qualifying
+    vec_id) and the strongest similarity, i.e. the audit trail a
+    curation run logs for every semantic-dup eviction.
+
+    Scale shape: one cluster-keyed self-join (shuffle on cluster),
+    pair work bounded per block; the centroid table is k rows,
+    broadcast. tau defaults to PAIR_THRESHOLD's 0.45 — the fixture
+    corpus's planted near-dup band."""
+    emb = _emb_double(spark, sf_dir)
+    cents = _lloyd_centroids(emb, k, n_iters)
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.min_by(
+                "cent_id",
+                F.struct(_round_dist().alias("d"),
+                         F.col("cent_id").alias("c")),
+            ).alias("cluster"),
+        )
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_id"), F.col("v").alias("vb")
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("keep_id") < F.col("vec_id"))
+        .select("cluster", "keep_id", "vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(tau))
+    )
+    return pairs.groupBy("vec_id", "cluster").agg(
+        F.min("keep_id").alias("duplicate_of"),
+        F.max("cos").alias("max_cos"),
     )
