@@ -559,3 +559,89 @@ def mixture_weights(
             weight * F.lit(float(token_budget)) / F.col("domain_tokens"), 4
         ).alias("epochs"),
     )
+
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def sample_importance(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """DSIR-style IMPORTANCE resampling score (★) — Xie et al. 2023's
+    data-selection recipe: score every raw document by how much more
+    likely its hashed-n-gram features are under a TARGET distribution
+    (here the lang='en' slice — the "looks like the domain I'm
+    training for" proxy) than under the raw corpus, then keep the
+    docs whose mean log-ratio is >= 0. Features are word bigrams
+    hashed into 256 buckets via the first two hex chars of md5 (the
+    repo's engine-portable hash device), with add-one smoothing on
+    both distributions.
+
+    Plan shape at 10^12 turns: the doc->bucket feature stream
+    aggregates to a 256-row bucket-count table in ONE exchange
+    (conditional agg computes target and raw counts in the same
+    pass; totals come from an unpartitioned window over the 256-row
+    table — the sample_temperature device, no second scan and no
+    driver hop). The per-bucket log-weight table is then BROADCAST
+    back onto the feature stream, so scoring is map-side + one
+    doc_id agg. No UDF anywhere; score rounds to 4dp (the avg-twin
+    discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    L = _tokens()
+    base = docs.select("doc_id", "lang", L.alias("L")).filter(
+        F.size("L") >= 2
+    )
+    arr = F.col("L")
+    feats = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat(
+                            F.element_at(arr, i + 1),
+                            F.lit(" "),
+                            F.element_at(arr, i + 2),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+            )
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_r"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+    )
+    wall = Window.partitionBy()
+    totals = counts.select(
+        "bucket",
+        "c_r",
+        "c_t",
+        F.sum("c_r").over(wall).alias("n_r"),
+        F.sum("c_t").over(wall).alias("n_t"),
+    )
+    b = float(DSIR_BUCKETS)
+    lw = F.log(
+        ((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.lit(b)))
+        / ((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + F.lit(b)))
+    )
+    wtab = totals.select("bucket", lw.alias("lw"))
+    return (
+        feats.join(F.broadcast(wtab), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            (F.round(F.avg("lw"), 4) + F.lit(0.0)).alias("dsir_score"),
+        )
+        .withColumn("keep", F.col("dsir_score") >= 0)
+    )

@@ -183,6 +183,7 @@ SPARK_QUERIES = {
     "text_bpe_encode": textstats.text_bpe_encode,
     "embed_kmeans": similarity.embed_kmeans,
     "dedup_semantic": similarity.dedup_semantic,
+    "sample_importance": cur.sample_importance,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1800,5 +1801,44 @@ ORACLE_SQL = {
                max(cos) AS max_cos
         FROM prs WHERE cos >= 0.45
         GROUP BY vec_id, cluster
+    """,
+    # DSIR importance resampling: bigram features hashed to 256
+    # buckets via substr(md5,1,2) (engine-portable), add-one-smoothed
+    # target(lang='en')/raw log-ratio, mean per doc rounded to 4dp
+    "sample_importance": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), b2 AS (
+            SELECT * FROM toks WHERE len(L) >= 2
+        ), feats AS (
+            SELECT doc_id, lang,
+                   unnest([substr(md5(L[i] || ' ' || L[i + 1]), 1, 2)
+                           for i in generate_series(1, len(L) - 1)])
+                       AS bucket
+            FROM b2
+        ), counts AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS c_r,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_t
+            FROM feats GROUP BY bucket
+        ), totals AS (
+            SELECT bucket, c_r, c_t,
+                   sum(c_r) OVER () AS n_r,
+                   sum(c_t) OVER () AS n_t
+            FROM counts
+        ), wtab AS (
+            SELECT bucket,
+                   ln(((c_t + 1.0) / (n_t + 256.0))
+                      / ((c_r + 1.0) / (n_r + 256.0))) AS lw
+            FROM totals
+        )
+        SELECT f.doc_id, f.lang,
+               CAST(count(*) AS INT) AS n_feats,
+               round(avg(w.lw), 4) + 0.0 AS dsir_score,
+               (round(avg(w.lw), 4) + 0.0 >= 0) AS keep
+        FROM feats f JOIN wtab w USING (bucket)
+        GROUP BY f.doc_id, f.lang
     """,
 }
