@@ -452,3 +452,96 @@ def x_sft_context(spark: SparkSession, sf_dir: str,
             "context_text", "target_text",
         )
     )
+
+
+# conversation-prefix dedup: k turns fingerprinted, every 7th conv
+# gets a planted "-retry" twin sharing exactly that prefix (the
+# dedup_incremental planted-clone discipline — the fixture corpus has
+# no natural cross-conv duplication, so evidence needs known positives)
+PREFIX_K = 3
+RETRY_MOD = 7
+
+
+def x_conv_prefix_dedup(spark: SparkSession, sf_dir: str,
+                        *, k: int = PREFIX_K) -> DataFrame:
+    """Conversation-PREFIX dedup (★) — the agent-transcript failure
+    mode the doc-level dedup family can't see: retried / re-driven
+    conversations share their first k turns verbatim (same system
+    prompt, same few-shot, same opening user turn) and only diverge
+    later. Grouping conversations by a fingerprint of the first-k-turn
+    (role, text) sequence finds those families so a training pipeline
+    keeps one canonical member (or trims the shared prefix).
+
+    Evidence protocol: the committed fixture corpus is seed-42 random
+    per turn, so true prefix collisions don't occur naturally; every
+    conversation whose index is ≡0 (mod 7) gets a DERIVED ``-retry``
+    twin — identical turns below k, deterministic divergence at and
+    after k — built in-plan from the committed table (no side data).
+    The DuckDB twin replays the identical derivation, so group sizes
+    and keep flags are value-hash-pinned end to end.
+
+    Plan shape at 10^12 turns: the prefix scan filters turn_idx < k
+    at the source (pushed to the bucketed parquet scan, k/avg_turns of
+    the table read); the fingerprint agg groups by conv_id — the table
+    is bucketed by conv_id, so no exchange — via the repo's
+    struct-sorted collect_list (F5: partition-order independent);
+    grouping then shuffles ONE row per conversation (4 orders smaller
+    than the turn table) on prefix_fp. No UDF anywhere."""
+    tdf = fixture_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    conv_num = F.expr("CAST(substring(conv_id, 5) AS INT)")
+    retry = (
+        tdf.filter((conv_num % RETRY_MOD == 0) & (F.col("turn_idx") < k + 2))
+        .select(
+            F.concat("conv_id", F.lit("-retry")).alias("conv_id"),
+            "turn_idx",
+            "role",
+            F.when(F.col("turn_idx") < k, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.lit("retry divergence "),
+                    F.md5(F.concat(
+                        "conv_id", F.lit(":"),
+                        F.col("turn_idx").cast("string"),
+                    )),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    aug = tdf.unionByName(retry)
+    line = F.concat(F.col("role"), F.lit("|"), F.coalesce("text", F.lit("")))
+    pref = (
+        aug.filter(F.col("turn_idx") < k)
+        .groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("turn_idx").alias("i"),
+                                    line.alias("s"),
+                                )
+                            )
+                        ),
+                        lambda st: st.s,
+                    ),
+                    "\x1e",
+                )
+            ).alias("prefix_fp"),
+            F.count(F.lit(1)).cast("int").alias("n_prefix_turns"),
+        )
+    )
+    from pyspark.sql import Window
+
+    g = Window.partitionBy("prefix_fp")
+    return pref.select(
+        "conv_id",
+        "prefix_fp",
+        "n_prefix_turns",
+        F.count(F.lit(1)).over(g).cast("int").alias("group_size"),
+        (F.col("conv_id") == F.min("conv_id").over(g)).alias("keep"),
+    )

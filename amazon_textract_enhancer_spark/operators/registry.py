@@ -184,6 +184,7 @@ SPARK_QUERIES = {
     "embed_kmeans": similarity.embed_kmeans,
     "dedup_semantic": similarity.dedup_semantic,
     "sample_importance": cur.sample_importance,
+    "x_conv_prefix_dedup": xq.x_conv_prefix_dedup,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1840,5 +1841,45 @@ ORACLE_SQL = {
                (round(avg(w.lw), 4) + 0.0 >= 0) AS keep
         FROM feats f JOIN wtab w USING (bucket)
         GROUP BY f.doc_id, f.lang
+    """,
+    # conversation-prefix dedup: replays the planted-retry derivation
+    # (every 7th conv gets a '-retry' twin sharing turns < k) then the
+    # identical first-k (role|text) fingerprint + prefix_fp grouping;
+    # chr(30) separator and ORDER BY turn_idx mirror the struct-sorted
+    # array_join on the Spark side
+    "x_conv_prefix_dedup": f"""
+        WITH tr AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM read_parquet('{_XTRANS}')
+        ), sel AS (
+            SELECT * FROM tr
+            WHERE CAST(substr(conv_id, 5) AS INT) % {xq.RETRY_MOD} = 0
+              AND turn_idx < {xq.PREFIX_K} + 2
+        ), retry AS (
+            SELECT conv_id || '-retry' AS conv_id, turn_idx, role,
+                   CASE WHEN turn_idx < {xq.PREFIX_K} THEN text
+                        ELSE 'retry divergence '
+                             || md5(conv_id || ':' || turn_idx)
+                   END AS text
+            FROM sel
+        ), aug AS (
+            SELECT conv_id, turn_idx, role, text FROM tr
+            UNION ALL
+            SELECT conv_id, turn_idx, role, text FROM retry
+        ), fp AS (
+            SELECT conv_id,
+                   md5(string_agg(role || '|' || coalesce(text, ''),
+                                  chr(30) ORDER BY turn_idx))
+                       AS prefix_fp,
+                   CAST(count(*) AS INT) AS n_prefix_turns
+            FROM aug WHERE turn_idx < {xq.PREFIX_K}
+            GROUP BY conv_id
+        )
+        SELECT conv_id, prefix_fp, n_prefix_turns,
+               CAST(count(*) OVER (PARTITION BY prefix_fp) AS INT)
+                   AS group_size,
+               (conv_id = min(conv_id) OVER (PARTITION BY prefix_fp))
+                   AS keep
+        FROM fp
     """,
 }

@@ -348,3 +348,34 @@ def test_repeated_spans_single_exchange(spark):
 
     df = dedup_repeated_spans(spark, SF_DIR)
     assert n_exchanges(df) <= 2, executed_plan(df)  # partial+final agg pair
+
+
+# ------------------------------------------------- conv-prefix dedup
+
+
+def test_conv_prefix_dedup_planted_retries(spark):
+    """Every 7th conv gets a planted '-retry' twin sharing its first-k
+    turns: those pairs (and ONLY those) must land in size-2 groups,
+    with the original kept as canonical; everything else is singleton."""
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        RETRY_MOD,
+        x_conv_prefix_dedup,
+    )
+
+    out = x_conv_prefix_dedup(spark, "/root/testdata/sf0.001").toPandas()
+    retries = out[out.conv_id.str.endswith("-retry")]
+    originals = out[~out.conv_id.str.endswith("-retry")]
+    assert len(retries) == sum(
+        1 for i in range(len(originals)) if i % RETRY_MOD == 0
+    )
+    # each retry pairs with exactly its origin conv
+    for _, r in retries.iterrows():
+        origin = r.conv_id[: -len("-retry")]
+        o = out[out.conv_id == origin].iloc[0]
+        assert o.prefix_fp == r.prefix_fp
+        assert o.group_size == 2 and r.group_size == 2
+        assert bool(o.keep) and not bool(r.keep)
+    # non-retry convs that aren't origins are singletons, all kept
+    origin_ids = {r.conv_id[: -len("-retry")] for _, r in retries.iterrows()}
+    solo = originals[~originals.conv_id.isin(origin_ids)]
+    assert (solo.group_size == 1).all() and solo.keep.all()
