@@ -565,6 +565,39 @@ DSIR_BUCKETS = 256
 DSIR_TARGET_LANG = "en"
 
 
+def _hashed_bigram_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hashed-n-gram feature stream for the model-based
+    curation family (DSIR resampling, LR quality classifier): one
+    row per (doc, word-bigram occurrence), bucket = first two md5
+    hex chars (engine-portable, 256 buckets). Docs with <2 tokens
+    emit nothing."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", _tokens().alias("L")).filter(
+        F.size("L") >= 2
+    )
+    arr = F.col("L")
+    return base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat(
+                            F.element_at(arr, i + 1),
+                            F.lit(" "),
+                            F.element_at(arr, i + 2),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+            )
+        ).alias("bucket"),
+    )
+
+
 def sample_importance(
     spark: SparkSession,
     sf_dir: str,
@@ -590,32 +623,7 @@ def sample_importance(
     back onto the feature stream, so scoring is map-side + one
     doc_id agg. No UDF anywhere; score rounds to 4dp (the avg-twin
     discipline)."""
-    docs = t(spark, sf_dir, "documents")
-    L = _tokens()
-    base = docs.select("doc_id", "lang", L.alias("L")).filter(
-        F.size("L") >= 2
-    )
-    arr = F.col("L")
-    feats = base.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(arr) - 2),
-                lambda i: F.substring(
-                    F.md5(
-                        F.concat(
-                            F.element_at(arr, i + 1),
-                            F.lit(" "),
-                            F.element_at(arr, i + 2),
-                        )
-                    ),
-                    1,
-                    2,
-                ),
-            )
-        ).alias("bucket"),
-    )
+    feats = _hashed_bigram_feats(spark, sf_dir)
     counts = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("c_r"),
         F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
@@ -644,4 +652,115 @@ def sample_importance(
             (F.round(F.avg("lw"), 4) + F.lit(0.0)).alias("dsir_score"),
         )
         .withColumn("keep", F.col("dsir_score") >= 0)
+    )
+
+
+# LR quality classifier: 2 unrolled full-batch GD iterations, rate 5.0
+# (determinism matters more than convergence at fixture scale; the
+# trajectory-pinning discipline is embed_kmeans's)
+LR_RATE = 5.0
+
+
+def text_quality_lr(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    target_lang: str = DSIR_TARGET_LANG,
+    rate: float = LR_RATE,
+) -> DataFrame:
+    """Model-based quality classifier (★) — the fastText/CCNet-style
+    linear scorer trained IN the engine: logistic regression over the
+    shared hashed-bigram bucket features (``_hashed_bigram_feats``),
+    label = "doc is in the target domain" (lang==target, the DSIR
+    proxy), two unrolled full-batch gradient-descent iterations from
+    w=0, then a per-doc probability score. This is the trainable
+    sibling of ``sample_importance``: same features, learned weights
+    instead of closed-form log-ratios.
+
+    Evidence split (the embed_kmeans honesty rule): the fixture corpus
+    draws every lang from the SAME 31-word vocabulary, so the lang
+    label is information-free there and the trained model converges to
+    the base-rate bias — the oracle row pins the cross-engine GD
+    TRAJECTORY (every 6dp weight step and 4dp score), not accuracy.
+    The semantic claim — the classifier actually separates classes
+    when the label is learnable — is pinned in pytest on a crafted
+    corpus with disjoint per-class vocabularies (perfect separation
+    after the two steps).
+
+    Determinism (the embed_kmeans trajectory-pinning discipline):
+    w starts at exactly 0 so iteration 1's probabilities are exactly
+    0.5; every weight, margin, and probability is rounded to 6dp the
+    moment it is produced, so both engines take identical gradient
+    steps and the 4dp final scores value-hash-match the DuckDB twin's
+    unrolled-CTE replay. Feature values x = count/n_d are exact
+    (integer-valued doubles divided once).
+
+    Plan shape at 10^12 turns: features aggregate to one row per
+    (doc,bucket) in ONE doc-keyed exchange; the model is a 257-row
+    table (256 buckets + '__b__' bias feature, x=1 per doc, which
+    makes the bias update just another bucket row) BROADCAST onto the
+    feature stream each iteration; each iteration costs one
+    bucket-keyed gradient agg (257 groups) plus one doc_id join of
+    the residuals back onto the cached feature table — no driver
+    traffic, no UDF, T is a small constant (2)."""
+    feats = _hashed_bigram_feats(spark, sf_dir)
+    cnt = feats.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    X = cnt.select(
+        "doc_id", "lang", "bucket",
+        (F.col("c") / F.sum("c").over(wdoc)).alias("x"),
+    )
+    docs_d = X.select("doc_id", "lang").distinct()
+    Xa = X.select("doc_id", "bucket", "x").unionByName(
+        docs_d.select(
+            "doc_id", F.lit("__b__").alias("bucket"), F.lit(1.0).alias("x")
+        )
+    )
+    y = F.when(F.col("lang") == target_lang, 1.0).otherwise(0.0)
+    wall = Window.partitionBy()
+    D0 = docs_d.select("doc_id", "lang", y.alias("y")).withColumn(
+        "n_docs", F.count(F.lit(1)).over(wall)
+    )
+    # iteration 1: w == 0 -> p == 0.5 exactly, no scoring join needed
+    r0 = D0.select("doc_id", (F.lit(0.5) - F.col("y")).alias("r"), "n_docs")
+    g1 = (
+        Xa.join(r0, "doc_id")
+        .groupBy("bucket")
+        .agg((F.sum(F.col("r") * F.col("x")) / F.max("n_docs")).alias("g"))
+    )
+    w1 = g1.select("bucket", F.round(F.lit(-rate) * F.col("g"), 6).alias("w"))
+    # iteration 2: score with w1, step again
+    z1 = (
+        Xa.join(F.broadcast(w1), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("z"))
+    )
+    p1 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    r1 = D0.join(z1, "doc_id").select(
+        "doc_id", (p1 - F.col("y")).alias("r"), "n_docs"
+    )
+    g2 = (
+        Xa.join(r1, "doc_id")
+        .groupBy("bucket")
+        .agg((F.sum(F.col("r") * F.col("x")) / F.max("n_docs")).alias("g"))
+    )
+    w2 = w1.join(g2, "bucket").select(
+        "bucket", F.round(F.col("w") - F.lit(rate) * F.col("g"), 6).alias("w")
+    )
+    zf = (
+        Xa.join(F.broadcast(w2), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("z"))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 4)
+    return (
+        D0.join(zf, "doc_id")
+        .select(
+            "doc_id", "lang",
+            F.col("y").cast("int").alias("label"),
+            (score + F.lit(0.0)).alias("lr_score"),
+        )
+        .withColumn("pred", F.col("lr_score") >= 0.5)
     )

@@ -185,6 +185,7 @@ SPARK_QUERIES = {
     "dedup_semantic": similarity.dedup_semantic,
     "sample_importance": cur.sample_importance,
     "x_conv_prefix_dedup": xq.x_conv_prefix_dedup,
+    "text_quality_lr": cur.text_quality_lr,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1881,5 +1882,68 @@ ORACLE_SQL = {
                (conv_id = min(conv_id) OVER (PARTITION BY prefix_fp))
                    AS keep
         FROM fp
+    """,
+    # LR quality classifier: unrolled replay of the 2-iteration
+    # full-batch GD trajectory (w0 = 0 -> p exactly 0.5; every weight
+    # / margin / probability rounded to 6dp the moment it's produced,
+    # the embed_kmeans pinning discipline); same hashed-bigram feature
+    # stream as sample_importance, bias folded in as bucket '__b__'
+    "text_quality_lr": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), b2 AS (
+            SELECT * FROM toks WHERE len(L) >= 2
+        ), feats AS (
+            SELECT doc_id, lang,
+                   unnest([substr(md5(L[i] || ' ' || L[i + 1]), 1, 2)
+                           for i in generate_series(1, len(L) - 1)])
+                       AS bucket
+            FROM b2
+        ), cnt AS (
+            SELECT doc_id, lang, bucket, CAST(count(*) AS DOUBLE) AS c
+            FROM feats GROUP BY doc_id, lang, bucket
+        ), X AS (
+            SELECT doc_id, lang, bucket,
+                   c / sum(c) OVER (PARTITION BY doc_id) AS x
+            FROM cnt
+        ), dd AS (
+            SELECT DISTINCT doc_id, lang FROM X
+        ), Xa AS (
+            SELECT doc_id, bucket, x FROM X
+            UNION ALL
+            SELECT doc_id, '__b__' AS bucket, 1.0 AS x FROM dd
+        ), D0 AS (
+            SELECT doc_id, lang,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   count(*) OVER () AS n_docs
+            FROM dd
+        ), g1 AS (
+            SELECT bucket, sum((0.5 - d.y) * xa.x) / max(d.n_docs) AS g
+            FROM Xa xa JOIN D0 d USING (doc_id) GROUP BY bucket
+        ), w1 AS (
+            SELECT bucket, round(-5.0 * g, 6) AS w FROM g1
+        ), z1 AS (
+            SELECT doc_id, round(sum(x * w), 6) AS z
+            FROM Xa JOIN w1 USING (bucket) GROUP BY doc_id
+        ), r1 AS (
+            SELECT d.doc_id,
+                   round(1.0 / (1.0 + exp(-z)), 6) - d.y AS r,
+                   d.n_docs
+            FROM D0 d JOIN z1 USING (doc_id)
+        ), g2 AS (
+            SELECT bucket, sum(r * x) / max(n_docs) AS g
+            FROM Xa JOIN r1 USING (doc_id) GROUP BY bucket
+        ), w2 AS (
+            SELECT bucket, round(w - 5.0 * g, 6) AS w
+            FROM w1 JOIN g2 USING (bucket)
+        ), zf AS (
+            SELECT doc_id, round(sum(x * w), 6) AS z
+            FROM Xa JOIN w2 USING (bucket) GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, CAST(d.y AS INT) AS label,
+               round(1.0 / (1.0 + exp(-z)), 4) + 0.0 AS lr_score,
+               (round(1.0 / (1.0 + exp(-z)), 4) + 0.0 >= 0.5) AS pred
+        FROM D0 d JOIN zf USING (doc_id)
     """,
 }

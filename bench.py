@@ -220,7 +220,8 @@ def main() -> None:
                    "mm_jpeg_color_stats", "mm_adpcm_stats", "c5_search_bm25_topk",
                    "mixture_weights", "text_lm_perplexity", "x_sft_context",
                    "text_bpe_encode", "embed_kmeans", "dedup_semantic",
-                   "sample_importance", "x_conv_prefix_dedup")
+                   "sample_importance", "x_conv_prefix_dedup",
+                   "text_quality_lr")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

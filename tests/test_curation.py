@@ -379,3 +379,45 @@ def test_conv_prefix_dedup_planted_retries(spark):
     origin_ids = {r.conv_id[: -len("-retry")] for _, r in retries.iterrows()}
     solo = originals[~originals.conv_id.isin(origin_ids)]
     assert (solo.group_size == 1).all() and solo.keep.all()
+
+
+# ------------------------------------------------- LR quality classifier
+
+
+def test_quality_lr_separates_learnable_label(spark, monkeypatch):
+    """On a corpus where the label IS learnable (disjoint per-class
+    vocabularies), two GD steps must already separate the classes:
+    every en doc scores above every de doc and preds match labels."""
+    en = ["alpha beta gamma delta epsilon zeta", "beta gamma alpha zeta delta",
+          "gamma alpha beta epsilon zeta delta", "delta epsilon alpha beta gamma"]
+    de = ["eins zwei drei vier funf sechs", "zwei drei eins sechs vier",
+          "drei eins zwei funf sechs vier", "vier funf eins zwei drei"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(en)] + [
+        (100 + i, t, "de", "s", len(t)) for i, t in enumerate(de)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    monkeypatch.setattr(C, "t", lambda _s, _d, _n: df)
+    out = C.text_quality_lr(spark, SF_DIR).toPandas()
+    assert len(out) == 8
+    en_scores = out[out.lang == "en"].lr_score
+    de_scores = out[out.lang == "de"].lr_score
+    assert en_scores.min() > de_scores.max()
+    assert (out.pred.astype(int) == out.label).all()
+
+
+def test_quality_lr_iteration_one_is_exact_half(spark, monkeypatch):
+    """w0 = 0 means iteration 1's probabilities are EXACTLY 0.5 — the
+    determinism anchor: with a single balanced pair and symmetric
+    features, the learned bias stays 0 and scores are symmetric
+    around 0.5."""
+    rows = [(1, "aa bb aa bb", "en", "s", 11), (2, "cc dd cc dd", "de", "s", 11)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    monkeypatch.setattr(C, "t", lambda _s, _d, _n: df)
+    out = C.text_quality_lr(spark, SF_DIR).toPandas().set_index("doc_id")
+    s_en, s_de = out.loc[1, "lr_score"], out.loc[2, "lr_score"]
+    assert s_en > 0.5 > s_de
+    assert abs((s_en - 0.5) - (0.5 - s_de)) <= 2e-4
