@@ -186,6 +186,7 @@ SPARK_QUERIES = {
     "sample_importance": cur.sample_importance,
     "x_conv_prefix_dedup": xq.x_conv_prefix_dedup,
     "text_quality_lr": cur.text_quality_lr,
+    "text_token_fertility": textstats.text_token_fertility,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -305,6 +306,54 @@ _CC_LABELS_CTE = f"""
         FROM reach GROUP BY src
     )
 """
+
+# shared CTE chain for the BPE apply family (text_bpe_encode,
+# text_token_fertility): 3 training rounds replayed + the distinct-word
+# encode table `enc(w, n_sym)`; consumers append their own word stream
+# and closing SELECT
+_BPE_ENC_CTES = r"""
+        WITH words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), s0 AS (
+            SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, c FROM words
+        ), p1 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s0)
+        ), t1 AS (
+            SELECT pair FROM p1 GROUP BY pair
+            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
+        ), s1 AS (
+            SELECT replace(s0.s, ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ') AS s, s0.c
+            FROM s0, t1
+        ), p2 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s1)
+        ), t2 AS (
+            SELECT pair FROM p2 GROUP BY pair
+            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
+        ), s2 AS (
+            SELECT replace(s1.s, ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ') AS s, s1.c
+            FROM s1, t2
+        ), p3 AS (
+            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
+            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s2)
+        ), t3 AS (
+            SELECT pair FROM p3 GROUP BY pair
+            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
+        ), enc AS (
+            SELECT w,
+                   len(string_split(trim(
+                       replace(replace(replace(
+                           ' ' || regexp_replace(v.w, '(.)', '\1 ', 'g'),
+                           ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+                           ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+                           ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ')
+                   ), ' ')) AS n_sym
+            FROM (SELECT w FROM words) v, t1, t2, t3
+        )"""
 
 ORACLE_SQL = {
     "b2_filter_scan_pushdown": """
@@ -1717,50 +1766,8 @@ ORACLE_SQL = {
     # BPE encode: replays the 3-round training recurrence (same CTE
     # chain as text_bpe_train_merges) and applies the merges to the
     # distinct-word vocab, then joins the per-doc word stream
-    "text_bpe_encode": r"""
-        WITH words AS (
-            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
-                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
-                FROM documents
-            ) WHERE w <> '' GROUP BY w
-        ), s0 AS (
-            SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, c FROM words
-        ), p1 AS (
-            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
-            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s0)
-        ), t1 AS (
-            SELECT pair FROM p1 GROUP BY pair
-            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
-        ), s1 AS (
-            SELECT replace(s0.s, ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ') AS s, s0.c
-            FROM s0, t1
-        ), p2 AS (
-            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
-            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s1)
-        ), t2 AS (
-            SELECT pair FROM p2 GROUP BY pair
-            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
-        ), s2 AS (
-            SELECT replace(s1.s, ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ') AS s, s1.c
-            FROM s1, t2
-        ), p3 AS (
-            SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)]) AS pair, c
-            FROM (SELECT string_split(trim(s), ' ') AS a, c FROM s2)
-        ), t3 AS (
-            SELECT pair FROM p3 GROUP BY pair
-            ORDER BY CAST(sum(c) AS BIGINT) DESC, pair LIMIT 1
-        ), enc AS (
-            SELECT w,
-                   len(string_split(trim(
-                       replace(replace(replace(
-                           ' ' || regexp_replace(v.w, '(.)', '\1 ', 'g'),
-                           ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
-                           ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
-                           ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ')
-                   ), ' ')) AS n_sym
-            FROM (SELECT w FROM words) v, t1, t2, t3
-        ), dwords AS (
-            SELECT doc_id, unnest(list_filter(
+    "text_bpe_encode": _BPE_ENC_CTES + """, dwords AS (
+            SELECT doc_id, lang, unnest(list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                 x -> x <> '')) AS w
             FROM documents
@@ -1769,6 +1776,23 @@ ORACLE_SQL = {
                CAST(sum(enc.n_sym) AS BIGINT) AS n_bpe_tokens
         FROM dwords JOIN enc USING (w)
         GROUP BY doc_id
+    """,
+    # tokenizer fertility: same learned-merge encode chain, lang-keyed
+    "text_token_fertility": _BPE_ENC_CTES + """, dwords AS (
+            SELECT doc_id, lang, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS w
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(enc.n_sym) AS BIGINT) AS n_bpe_tokens,
+               round(sum(enc.n_sym) / count(*), 4) AS fertility,
+               round(sum(len(dwords.w)) / sum(enc.n_sym), 4)
+                   AS chars_per_token
+        FROM dwords JOIN enc USING (w)
+        GROUP BY lang
     """,
     # fixed-iteration Lloyd k-means, unrolled (k=4, 2 iterations):
     # 6dp rounding on every distance and centroid component pins the

@@ -361,23 +361,58 @@ def text_bpe_encode(spark, sf_dir):
     model artifact, same budget as training. In production the merge
     table is a committed artifact read back, not re-learned in-query
     (re-learning here keeps the registry entry self-contained)."""
-    docs = t(spark, sf_dir, "documents")
-    mrows = bpe_train_merges(docs, "text", rounds=3).collect()
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
-    )
-    dw = docs.select("doc_id", F.explode(toks).alias("w"))
-    s = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
-    for r in sorted(mrows, key=lambda r: r["round"]):
-        s = F.replace(s, F.lit(f" {r['pair']} "), F.lit(f" {r['merged']} "))
-    enc = dw.select("w").distinct().select(
-        "w", F.size(F.split(F.trim(s), " ")).cast("int").alias("n_sym")
-    )
+    dw, enc = _bpe_word_stream_and_codes(t(spark, sf_dir, "documents"))
     return (
         dw.join(enc, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_words"),
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_word_stream_and_codes(docs):
+    """Shared apply-side kernel for the BPE family: (per-occurrence
+    word stream with doc_id+lang, DISTINCT-word -> subword-count
+    encode table under the first 3 learned merges). The only driver
+    traffic is the 3-row merge table (the model artifact)."""
+    mrows = bpe_train_merges(docs, "text", rounds=3).collect()
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
+    )
+    dw = docs.select("doc_id", "lang", F.explode(toks).alias("w"))
+    s = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    for r in sorted(mrows, key=lambda r: r["round"]):
+        s = F.replace(s, F.lit(f" {r['pair']} "), F.lit(f" {r['merged']} "))
+    enc = dw.select("w").distinct().select(
+        "w", F.size(F.split(F.trim(s), " ")).cast("int").alias("n_sym")
+    )
+    return dw, enc
+
+
+def text_token_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY audit (★) — the per-language health stat a
+    tokenizer team watches before committing a vocab: subword tokens
+    per word (fertility) and characters per subword token, by lang,
+    under the corpus-learned merge table. High fertility for a
+    language means its text fragments into many pieces — it will pay
+    more sequence length per sentence than its share of the corpus.
+
+    Plan shape: identical to ``text_bpe_encode`` (vocab-sized encode
+    table, word-stream equi-join) with the final agg keyed by lang —
+    a handful of groups, map-side partials do almost all the work."""
+    dw, enc = _bpe_word_stream_and_codes(t(spark, sf_dir, "documents"))
+    return (
+        dw.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("n_sym") / F.count(F.lit(1)), 4).alias("fertility"),
+            F.round(F.sum(F.length("w")) / F.sum("n_sym"), 4).alias(
+                "chars_per_token"
+            ),
         )
     )
