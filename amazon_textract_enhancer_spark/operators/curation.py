@@ -764,3 +764,40 @@ def text_quality_lr(
         )
         .withColumn("pred", F.col("lr_score") >= 0.5)
     )
+
+
+def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ORDERING (★) — easy-to-hard scheduling by model
+    difficulty (Bengio et al. 2009 shape, scored like CCNet): each doc
+    gets the bigram-LM perplexity from ``text_lm_perplexity``, stages
+    are the ppl quartiles (stage 1 = easiest), and ``order_key`` is a
+    content-free md5 shuffle key so a data loader can stream
+    ``ORDER BY stage, order_key`` — curriculum across stages,
+    reproducible shuffle within them.
+
+    Scale note: NO global sort. The quartile boundaries come from one
+    exact-percentile agg (3 numbers, 4dp-rounded so both engines make
+    identical boundary decisions), BROADCAST back; stage assignment is
+    map-side comparisons. The actual ordering is left to the consumer
+    as sort keys — at 10^12 docs that is a write into stage-bucketed
+    files, not an engine-side total order."""
+    from .textstats import text_lm_perplexity
+
+    scored = text_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    qs = scored.agg(
+        F.round(F.percentile("ppl", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("ppl", F.lit(0.50)), 4).alias("q2"),
+        F.round(F.percentile("ppl", F.lit(0.75)), 4).alias("q3"),
+    )
+    stage = (
+        F.lit(1)
+        + (F.col("ppl") > F.col("q1")).cast("int")
+        + (F.col("ppl") > F.col("q2")).cast("int")
+        + (F.col("ppl") > F.col("q3")).cast("int")
+    )
+    return scored.crossJoin(F.broadcast(qs)).select(
+        "doc_id",
+        "ppl",
+        stage.cast("int").alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("order_key"),
+    )

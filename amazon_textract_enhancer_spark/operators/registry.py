@@ -187,6 +187,7 @@ SPARK_QUERIES = {
     "x_conv_prefix_dedup": xq.x_conv_prefix_dedup,
     "text_quality_lr": cur.text_quality_lr,
     "text_token_fertility": textstats.text_token_fertility,
+    "sample_curriculum": cur.sample_curriculum,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -354,6 +355,40 @@ _BPE_ENC_CTES = r"""
                    ), ' ')) AS n_sym
             FROM (SELECT w FROM words) v, t1, t2, t3
         )"""
+
+# the bigram-LM perplexity query (text_lm_perplexity ★), also the
+# scoring stage of sample_curriculum's twin
+_PPL_QUERY = f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), bigs AS (
+            SELECT doc_id,
+                   unnest([L[i] || ' ' || L[i+1]
+                           for i in generate_series(1, len(L) - 1)]) AS pair
+            FROM toks WHERE len(L) >= 2
+        ), b2 AS (
+            SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM bigs
+        ), uni AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+                SELECT unnest(L) AS w1 FROM toks
+            ) GROUP BY w1
+        ), vv AS (
+            SELECT count(*) AS vocab FROM uni
+        ), big AS (
+            SELECT pair, CAST(count(*) AS BIGINT) AS c12
+            FROM b2 GROUP BY pair
+        )
+        SELECT b2.doc_id,
+               CAST(count(*) AS INT) AS n_bigrams,
+               round(exp(avg(-ln((big.c12 + 1.0) / (uni.c1 + vv.vocab)))), 4)
+                   AS ppl
+        FROM b2
+        JOIN big ON big.pair = b2.pair
+        JOIN uni ON uni.w1 = b2.w1
+        CROSS JOIN vv
+        GROUP BY b2.doc_id
+    """
 
 ORACLE_SQL = {
     "b2_filter_scan_pushdown": """
@@ -1708,37 +1743,7 @@ ORACLE_SQL = {
     # bigram-LM perplexity: identical add-one-smoothed recurrence;
     # tokens never contain spaces (split on [^a-z0-9]+), so the pair
     # string is a safe join key in both engines
-    "text_lm_perplexity": f"""
-        WITH toks AS (
-            SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS L
-            FROM documents
-        ), bigs AS (
-            SELECT doc_id,
-                   unnest([L[i] || ' ' || L[i+1]
-                           for i in generate_series(1, len(L) - 1)]) AS pair
-            FROM toks WHERE len(L) >= 2
-        ), b2 AS (
-            SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM bigs
-        ), uni AS (
-            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
-                SELECT unnest(L) AS w1 FROM toks
-            ) GROUP BY w1
-        ), vv AS (
-            SELECT count(*) AS vocab FROM uni
-        ), big AS (
-            SELECT pair, CAST(count(*) AS BIGINT) AS c12
-            FROM b2 GROUP BY pair
-        )
-        SELECT b2.doc_id,
-               CAST(count(*) AS INT) AS n_bigrams,
-               round(exp(avg(-ln((big.c12 + 1.0) / (uni.c1 + vv.vocab)))), 4)
-                   AS ppl
-        FROM b2
-        JOIN big ON big.pair = b2.pair
-        JOIN uni ON uni.w1 = b2.w1
-        CROSS JOIN vv
-        GROUP BY b2.doc_id
-    """,
+    "text_lm_perplexity": _PPL_QUERY,
     # SFT example assembly over the reference-extraction cache: the
     # twin's windowed string_agg replays the identical 4-preceding
     # rows frame, so context strings are byte-pinned vs the
@@ -1969,5 +1974,22 @@ ORACLE_SQL = {
                round(1.0 / (1.0 + exp(-z)), 4) + 0.0 AS lr_score,
                (round(1.0 / (1.0 + exp(-z)), 4) + 0.0 >= 0.5) AS pred
         FROM D0 d JOIN zf USING (doc_id)
+    """,
+    # curriculum ordering: perplexity quartile stages + md5 shuffle
+    # key; boundaries rounded to 4dp so both engines bucket identically
+    "sample_curriculum": f"""
+        WITH scored AS (
+            SELECT doc_id, ppl FROM ({_PPL_QUERY})
+        ), qs AS (
+            SELECT round(quantile_cont(ppl, 0.25), 4) AS q1,
+                   round(quantile_cont(ppl, 0.50), 4) AS q2,
+                   round(quantile_cont(ppl, 0.75), 4) AS q3
+            FROM scored
+        )
+        SELECT doc_id, ppl,
+               CAST(1 + CAST(ppl > q1 AS INT) + CAST(ppl > q2 AS INT)
+                      + CAST(ppl > q3 AS INT) AS INT) AS stage,
+               md5(CAST(doc_id AS VARCHAR)) AS order_key
+        FROM scored CROSS JOIN qs
     """,
 }

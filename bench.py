@@ -221,7 +221,8 @@ def main() -> None:
                    "mixture_weights", "text_lm_perplexity", "x_sft_context",
                    "text_bpe_encode", "embed_kmeans", "dedup_semantic",
                    "sample_importance", "x_conv_prefix_dedup",
-                   "text_quality_lr", "text_token_fertility")
+                   "text_quality_lr", "text_token_fertility",
+                   "sample_curriculum")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})
