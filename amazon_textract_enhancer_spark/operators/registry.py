@@ -73,7 +73,7 @@ SPARK_QUERIES = {
     "b15_semi_join_referenced": rel.b15_semi_join_referenced,
     "b13_window_reading_order": rel.b13_window_reading_order,
     "d3_window_neighbor_smoothing": rel.d3_window_neighbor_smoothing,
-    "b14_union_dedup": rel.b14_union_dedup,
+    "embed_kmeans": similarity.embed_kmeans,
     "a2_distinct_idempotency": rel.a2_distinct_idempotency,
     # -- §2.E heavy generic ops (unique plan shapes)
     "agg_rollup_lang_source": rel.agg_rollup_lang_source,
@@ -105,7 +105,7 @@ SPARK_QUERIES = {
     "text_lang_id": textstats.text_lang_id,
     "text_quality_score": textstats.text_quality_score,
     "text_token_count_stats": textstats.text_token_count_stats,
-    "text_fingerprint": textstats.text_fingerprint,
+    "text_quality_lr": cur.text_quality_lr,
     # r4 rotation: BM25 (this round's serving tier) takes the BPE-
     # estimate slot, and the two REAL r4 codecs (color JPEG, ADPCM —
     # the ops VERDICT r3 listed as missing) take the fake-metadata
@@ -117,7 +117,7 @@ SPARK_QUERIES = {
     "text_gopher_quality": cur.text_gopher_quality,
     "mm_jpeg_color_stats": multimodal.mm_jpeg_color_stats,
     "mm_adpcm_stats": multimodal.mm_adpcm_stats,
-    "mm_gif_stats": multimodal.mm_gif_stats,
+    "x_conv_prefix_dedup": xq.x_conv_prefix_dedup,
     # ================= window boundary (first 50 end here) =============
     # everything below is pytest-pinned only (oracle parity sweeps all
     # of ORACLE_SQL; rows-only ✂ queries get the determinism check)
@@ -181,11 +181,11 @@ SPARK_QUERIES = {
     "text_lm_perplexity": textstats.text_lm_perplexity,
     "x_sft_context": xq.x_sft_context,
     "text_bpe_encode": textstats.text_bpe_encode,
-    "embed_kmeans": similarity.embed_kmeans,
+    "b14_union_dedup": rel.b14_union_dedup,
     "dedup_semantic": similarity.dedup_semantic,
     "sample_importance": cur.sample_importance,
-    "x_conv_prefix_dedup": xq.x_conv_prefix_dedup,
-    "text_quality_lr": cur.text_quality_lr,
+    "mm_gif_stats": multimodal.mm_gif_stats,
+    "text_fingerprint": textstats.text_fingerprint,
     "text_token_fertility": textstats.text_token_fertility,
     "sample_curriculum": cur.sample_curriculum,
 }

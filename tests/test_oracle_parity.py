@@ -123,7 +123,10 @@ def test_driver_evidence_window_is_pinned():
     # (VERDICT r3 item 6): the hash-dedup ✂ rows produced driver rows
     # it can't score, so they moved below the boundary (their
     # determinism checks live in pytest) and three previously
-    # unwitnessed ★ families took the slots
+    # unwitnessed ★ families took the slots; the r4 rotation swapped
+    # three already-driver-witnessed rows (b14/fingerprint/gif, green
+    # in r3, families still represented in-window) for the round's
+    # flagship additions (kmeans / LR classifier / conv-prefix dedup)
     missing = [n for n in window if n not in ORACLE_SQL]
     assert missing == [], f"non-evidence queries inside the window: {missing}"
     # the EXACT window content AND order, pinned: the driver's
@@ -141,7 +144,7 @@ def test_driver_evidence_window_is_pinned():
         "b4_ordered_text_assembly", "b5_two_level_ordered_concat",
         "b6_grid_pivot_fixed", "b7_anti_join_swallowed",
         "b15_semi_join_referenced", "b13_window_reading_order",
-        "d3_window_neighbor_smoothing", "b14_union_dedup",
+        "d3_window_neighbor_smoothing", "embed_kmeans",
         "a2_distinct_idempotency", "agg_rollup_lang_source",
         "sessionize_events", "asof_join_last_click",
         "percentile_exact_values", "c1_point_lookup",
@@ -153,7 +156,7 @@ def test_driver_evidence_window_is_pinned():
         "ann_cosine_topk", "ann_pairs_threshold",
         "embed_norm_by_label", "text_lang_id",
         "text_quality_score", "text_token_count_stats",
-        "text_fingerprint", "c5_search_bm25_topk",
+        "text_quality_lr", "c5_search_bm25_topk",
         "text_gopher_quality", "mm_jpeg_color_stats",
-        "mm_adpcm_stats", "mm_gif_stats",
+        "mm_adpcm_stats", "x_conv_prefix_dedup",
     ]
