@@ -462,6 +462,35 @@ PREFIX_K = 3
 RETRY_MOD = 7
 
 
+def _retry_twins(tdf: DataFrame, k: int = PREFIX_K) -> DataFrame:
+    """DERIVED '-retry' twin conversations for every conv whose index
+    is ≡0 (mod RETRY_MOD): identical turns below k, deterministic
+    divergence text at and after k (through k+1). Built in-plan from
+    the committed table — the shared evidence substrate for
+    ``x_conv_prefix_dedup`` (finds the families) and ``x_dpo_pairs``
+    (assembles preference pairs from them)."""
+    conv_num = F.expr("CAST(substring(conv_id, 5) AS INT)")
+    return (
+        tdf.filter((conv_num % RETRY_MOD == 0) & (F.col("turn_idx") < k + 2))
+        .select(
+            F.concat("conv_id", F.lit("-retry")).alias("conv_id"),
+            "turn_idx",
+            "role",
+            F.when(F.col("turn_idx") < k, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.lit("retry divergence "),
+                    F.md5(F.concat(
+                        "conv_id", F.lit(":"),
+                        F.col("turn_idx").cast("string"),
+                    )),
+                )
+            )
+            .alias("text"),
+        )
+    )
+
+
 def x_conv_prefix_dedup(spark: SparkSession, sf_dir: str,
                         *, k: int = PREFIX_K) -> DataFrame:
     """Conversation-PREFIX dedup (★) — the agent-transcript failure
@@ -490,27 +519,7 @@ def x_conv_prefix_dedup(spark: SparkSession, sf_dir: str,
     tdf = fixture_transcripts(spark, sf_dir).select(
         "conv_id", "turn_idx", "role", "text"
     )
-    conv_num = F.expr("CAST(substring(conv_id, 5) AS INT)")
-    retry = (
-        tdf.filter((conv_num % RETRY_MOD == 0) & (F.col("turn_idx") < k + 2))
-        .select(
-            F.concat("conv_id", F.lit("-retry")).alias("conv_id"),
-            "turn_idx",
-            "role",
-            F.when(F.col("turn_idx") < k, F.col("text"))
-            .otherwise(
-                F.concat(
-                    F.lit("retry divergence "),
-                    F.md5(F.concat(
-                        "conv_id", F.lit(":"),
-                        F.col("turn_idx").cast("string"),
-                    )),
-                )
-            )
-            .alias("text"),
-        )
-    )
-    aug = tdf.unionByName(retry)
+    aug = tdf.unionByName(_retry_twins(tdf, k))
     line = F.concat(F.col("role"), F.lit("|"), F.coalesce("text", F.lit("")))
     pref = (
         aug.filter(F.col("turn_idx") < k)
@@ -544,4 +553,71 @@ def x_conv_prefix_dedup(spark: SparkSession, sf_dir: str,
         "n_prefix_turns",
         F.count(F.lit(1)).over(g).cast("int").alias("group_size"),
         (F.col("conv_id") == F.min("conv_id").over(g)).alias("keep"),
+    )
+
+
+def x_dpo_pairs(spark: SparkSession, sf_dir: str,
+                *, k: int = PREFIX_K) -> DataFrame:
+    """Preference-pair ASSEMBLY (★) — the DPO/RLHF data product built
+    from retry families: for every conversation with a ``-retry`` twin
+    (``_retry_twins``), the pair is
+
+    - ``prompt``   = the shared first-k turns rendered as "role: text"
+      lines (identical in both family members by construction),
+    - ``chosen``   = the ORIGINAL conversation's turn at index k (the
+      continuation that was kept),
+    - ``rejected`` = the retry's diverged turn at index k.
+
+    In production the chosen/rejected signal comes from ratings or an
+    outcome label; here the planted derivation IS the signal
+    (original preferred over divergence), which keeps the assembly —
+    the part under test — fully deterministic and twin-checkable.
+
+    Plan shape at 10^12 turns: turn_idx <= k filters push to the
+    bucketed scan; prompt assembly is the struct-sorted collect_list
+    per conv (no exchange on the bucketed table); the final shape is
+    two conv_id equi-joins of conv-level rows (one row per retry
+    family — 5 orders smaller than the turn table). No UDF."""
+    tdf = fixture_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    conv_num = F.expr("CAST(substring(conv_id, 5) AS INT)")
+    fam = tdf.filter(conv_num % RETRY_MOD == 0)
+    line = F.concat(F.col("role"), F.lit(": "), F.coalesce("text", F.lit("")))
+    prompt = (
+        fam.filter(F.col("turn_idx") < k)
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("turn_idx").alias("i"),
+                                line.alias("s"),
+                            )
+                        )
+                    ),
+                    lambda st: st.s,
+                ),
+                "\n",
+            ).alias("prompt")
+        )
+    )
+    chosen = fam.filter(F.col("turn_idx") == k).select(
+        "conv_id", "role", F.col("text").alias("chosen")
+    )
+    rejected = (
+        _retry_twins(fam, k)
+        .filter(F.col("turn_idx") == k)
+        .select(
+            F.expr("substring(conv_id, 1, length(conv_id) - 6)")
+            .alias("conv_id"),
+            F.col("text").alias("rejected"),
+        )
+    )
+    return (
+        prompt.join(chosen, "conv_id")
+        .join(rejected, "conv_id")
+        .select("conv_id", "role", "prompt", "chosen", "rejected")
     )

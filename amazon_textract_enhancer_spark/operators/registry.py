@@ -188,6 +188,7 @@ SPARK_QUERIES = {
     "text_fingerprint": textstats.text_fingerprint,
     "text_token_fertility": textstats.text_token_fertility,
     "sample_curriculum": cur.sample_curriculum,
+    "x_dpo_pairs": xq.x_dpo_pairs,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -1991,5 +1992,34 @@ ORACLE_SQL = {
                       + CAST(ppl > q3 AS INT) AS INT) AS stage,
                md5(CAST(doc_id AS VARCHAR)) AS order_key
         FROM scored CROSS JOIN qs
+    """,
+    # DPO preference-pair assembly over the planted retry families:
+    # prompt = shared first-k turns, chosen = original turn k,
+    # rejected = the deterministic divergence text
+    "x_dpo_pairs": f"""
+        WITH tr AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM read_parquet('{_XTRANS}')
+        ), fam AS (
+            SELECT * FROM tr
+            WHERE CAST(substr(conv_id, 5) AS INT) % {xq.RETRY_MOD} = 0
+        ), prompt AS (
+            SELECT conv_id,
+                   string_agg(role || ': ' || coalesce(text, ''),
+                              chr(10) ORDER BY turn_idx) AS prompt
+            FROM fam WHERE turn_idx < {xq.PREFIX_K} GROUP BY conv_id
+        ), chosen AS (
+            SELECT conv_id, role, text AS chosen
+            FROM fam WHERE turn_idx = {xq.PREFIX_K}
+        ), rejected AS (
+            SELECT conv_id,
+                   'retry divergence ' || md5(conv_id || ':' || turn_idx)
+                       AS rejected
+            FROM fam WHERE turn_idx = {xq.PREFIX_K}
+        )
+        SELECT p.conv_id, c.role, p.prompt, c.chosen, r.rejected
+        FROM prompt p
+        JOIN chosen c USING (conv_id)
+        JOIN rejected r USING (conv_id)
     """,
 }

@@ -421,3 +421,33 @@ def test_quality_lr_iteration_one_is_exact_half(spark, monkeypatch):
     s_en, s_de = out.loc[1, "lr_score"], out.loc[2, "lr_score"]
     assert s_en > 0.5 > s_de
     assert abs((s_en - 0.5) - (0.5 - s_de)) <= 2e-4
+
+
+def test_dpo_pairs_from_retry_families(spark):
+    """Every retry family yields exactly one preference pair whose
+    prompt is the shared k-turn prefix, whose chosen text is the
+    original turn k, and whose rejected text is the planted
+    divergence — never equal to chosen."""
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        PREFIX_K,
+        x_dpo_pairs,
+    )
+
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        fixture_transcripts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = x_dpo_pairs(spark, sf).toPandas()
+    raw = fixture_transcripts(spark, sf).toPandas()
+    assert len(out) >= 1
+    for _, r in out.iterrows():
+        turns = raw[raw.conv_id == r.conv_id].sort_values("turn_idx")
+        want = "\n".join(
+            f"{t.role}: {t.text}" for t in turns.head(PREFIX_K).itertuples()
+        )
+        assert r.prompt == want
+        assert r.chosen == turns.iloc[PREFIX_K].text
+        assert r.rejected.startswith("retry divergence ")
+        assert r.chosen != r.rejected
+        assert not r.conv_id.endswith("-retry")
