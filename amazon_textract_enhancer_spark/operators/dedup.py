@@ -863,3 +863,42 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+HOLDOUT_HEX_LT = "2"  # md5 first hex digit < '2' → ~1/8 holdout
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/holdout split (★) — the eval-hygiene step
+    after dedup clustering: the split unit is the NEAR-DUP CLUSTER,
+    not the document, so two near-duplicates can never land on
+    opposite sides of the split (the classic eval-contamination bug a
+    doc-keyed random split ships silently). Docs in no cluster are
+    their own singleton cluster; the holdout decision is
+    md5(cluster) — content-free, reproducible, and shared by every
+    member by construction.
+
+    Plan shape at 10^12 docs: the labels table is the committed CC
+    output (here recomputed in-query to stay self-contained, exactly
+    like ``dedup_survivors``); assignment is one doc-keyed left join
+    + a cluster-keyed window for the size audit. No driver traffic."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    lab = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster")
+    split = F.when(
+        F.substring(F.md5(F.col("cluster").cast("string")), 1, 1)
+        < F.lit(HOLDOUT_HEX_LT),
+        "holdout",
+    ).otherwise("train")
+    return lab.select(
+        "doc_id",
+        "cluster",
+        F.count(F.lit(1)).over(w).cast("int").alias("cluster_size"),
+        split.alias("split"),
+    )

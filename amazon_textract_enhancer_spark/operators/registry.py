@@ -189,6 +189,7 @@ SPARK_QUERIES = {
     "text_token_fertility": textstats.text_token_fertility,
     "sample_curriculum": cur.sample_curriculum,
     "x_dpo_pairs": xq.x_dpo_pairs,
+    "split_leakage_safe": dedup.split_leakage_safe,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2021,5 +2022,19 @@ ORACLE_SQL = {
         FROM prompt p
         JOIN chosen c USING (conv_id)
         JOIN rejected r USING (conv_id)
+    """,
+    # leakage-safe split: CC labels (recursive-CTE closure), singleton
+    # docs are their own cluster, holdout = md5(cluster) first hex < '2'
+    "split_leakage_safe": _CC_LABELS_CTE + """
+        , alldocs AS (
+            SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        )
+        SELECT doc_id, cluster,
+               CAST(count(*) OVER (PARTITION BY cluster) AS INT)
+                   AS cluster_size,
+               CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < '2'
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM alldocs
     """,
 }

@@ -222,7 +222,8 @@ def main() -> None:
                    "text_bpe_encode", "embed_kmeans", "dedup_semantic",
                    "sample_importance", "x_conv_prefix_dedup",
                    "text_quality_lr", "text_token_fertility",
-                   "sample_curriculum", "x_dpo_pairs")
+                   "sample_curriculum", "x_dpo_pairs",
+                   "split_leakage_safe")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

@@ -451,3 +451,20 @@ def test_dpo_pairs_from_retry_families(spark):
         assert r.rejected.startswith("retry divergence ")
         assert r.chosen != r.rejected
         assert not r.conv_id.endswith("-retry")
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Every near-dup pair must land on the SAME side of the split —
+    the invariant a doc-keyed random split violates."""
+    from amazon_textract_enhancer_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        split_leakage_safe,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    split = split_leakage_safe(spark, sf).toPandas().set_index("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf).toPandas()
+    assert len(pairs) > 0
+    for _, p in pairs.iterrows():
+        assert split.loc[p.doc_a, "split"] == split.loc[p.doc_b, "split"]
+    assert set(split.split) == {"train", "holdout"}
