@@ -713,16 +713,21 @@ def text_quality_lr(
         (F.col("c") / F.sum("c").over(wdoc)).alias("x"),
     )
     docs_d = X.select("doc_id", "lang").distinct()
+    # the feature and label tables are referenced by every iteration
+    # (two gradient aggs + two scoring joins each): persist them so
+    # the tokenize→explode→normalize chain runs ONCE, not 5×. In
+    # production these are committed pipeline tables (the
+    # fixture_tokens discipline); persist is the in-query analog.
     Xa = X.select("doc_id", "bucket", "x").unionByName(
         docs_d.select(
             "doc_id", F.lit("__b__").alias("bucket"), F.lit(1.0).alias("x")
         )
-    )
+    ).persist()
     y = F.when(F.col("lang") == target_lang, 1.0).otherwise(0.0)
     wall = Window.partitionBy()
     D0 = docs_d.select("doc_id", "lang", y.alias("y")).withColumn(
         "n_docs", F.count(F.lit(1)).over(wall)
-    )
+    ).persist()
     # iteration 1: w == 0 -> p == 0.5 exactly, no scoring join needed
     r0 = D0.select("doc_id", (F.lit(0.5) - F.col("y")).alias("r"), "n_docs")
     g1 = (

@@ -468,3 +468,20 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     for _, p in pairs.iterrows():
         assert split.loc[p.doc_a, "split"] == split.loc[p.doc_b, "split"]
     assert set(split.split) == {"train", "holdout"}
+
+
+def test_quality_lr_model_joins_are_broadcast(spark):
+    """The 257-row model table must be broadcast onto the feature
+    stream in the scoring joins — a shuffle there would move the
+    corpus-sized feature table per iteration."""
+    df = C.text_quality_lr(spark, SF_DIR)
+    assert n_broadcast_joins(df) >= 2, executed_plan(df)
+
+
+def test_sample_importance_weight_table_is_broadcast(spark):
+    """The 256-row bucket log-weight table is broadcast back onto the
+    feature stream; exchange budget: feature agg, totals window,
+    final doc agg."""
+    df = C.sample_importance(spark, SF_DIR)
+    assert n_broadcast_joins(df) >= 1, executed_plan(df)
+    assert n_exchanges(df) <= 3, executed_plan(df)
