@@ -190,6 +190,7 @@ SPARK_QUERIES = {
     "sample_curriculum": cur.sample_curriculum,
     "x_dpo_pairs": xq.x_dpo_pairs,
     "split_leakage_safe": dedup.split_leakage_safe,
+    "sample_fixed_per_stratum": textstats.sample_fixed_per_stratum,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2036,5 +2037,19 @@ ORACLE_SQL = {
                CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < '2'
                     THEN 'holdout' ELSE 'train' END AS split
         FROM alldocs
+    """,
+    # exact-k per-stratum sample: md5 order + per-lang row_number
+    "sample_fixed_per_stratum": """
+        SELECT doc_id, lang, source, order_key,
+               CAST(rank_in_stratum AS INT) AS rank_in_stratum
+        FROM (
+            SELECT doc_id, lang, source,
+                   md5(CAST(doc_id AS VARCHAR)) AS order_key,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rank_in_stratum
+            FROM documents
+        ) WHERE rank_in_stratum <= 20
     """,
 }

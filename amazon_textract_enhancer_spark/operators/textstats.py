@@ -416,3 +416,33 @@ def text_token_fertility(spark, sf_dir):
             ),
         )
     )
+
+
+SAMPLE_K_PER_STRATUM = 20
+
+
+def sample_fixed_per_stratum(spark, sf_dir, *, k: int = SAMPLE_K_PER_STRATUM):
+    """Exact-size per-stratum sampling (★) — the eval-set construction
+    primitive ``sample_stratified`` can't provide: EXACTLY k docs per
+    (lang) stratum (fewer only if the stratum is smaller), chosen by
+    the content-stable md5 order so the pick is reproducible across
+    runs, engines and partitionings. Rate-based sampling gives a
+    binomial size; benchmark suites need a fixed budget per slice.
+
+    Plan shape at 10^12 docs: one lang-keyed window (row_number over
+    md5(doc_id) — each stratum sorts independently; lang cardinality
+    is small but each partition is processed distributed per key by
+    the window exchange) then a map-side rank filter. For mega-strata
+    a two-phase pre-filter (md5 bucket < generous bound, then exact
+    window on survivors) bounds the sort input; at fixture scale the
+    direct form is the honest one."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    okey = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(okey.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source", okey.alias("order_key"))
+        .withColumn("rank_in_stratum", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_in_stratum") <= k)
+    )
