@@ -279,6 +279,76 @@ class TableIO:
             )
         return spark.read.parquet(snap)
 
+    def fast_count(self, name: str) -> int:
+        """Metadata-only row count — the Iceberg "count(*) answered
+        from manifests" analog: the commit protocol computed the count
+        from the WRITTEN files (step 6), so serving it from the
+        manifest touches zero data files and starts zero Spark jobs.
+        At 10^12 rows this is the difference between a dashboard call
+        and a cluster scan. Raises if the stage is uncommitted (no
+        manifest ⇒ no complete data to count)."""
+        m = self.read_manifest(name)
+        if m is None:
+            raise ValueError(f"table {name!r} has no committed manifest")
+        return int(m["rows"])
+
+    def fast_counter_sum(self, name: str, counter: str) -> int:
+        """Metadata-only total of a lineage counter column (F4):
+        summed across the per-partition lineage block without touching
+        data. ``counter`` is the manifest key (dots already mapped to
+        underscores by commit_stage)."""
+        m = self.read_manifest(name)
+        if m is None:
+            raise ValueError(f"table {name!r} has no committed manifest")
+        key = counter.replace(".", "_")
+        try:
+            return int(sum(r[key] for r in m["lineage"]))
+        except KeyError:
+            raise ValueError(
+                f"counter {counter!r} was not recorded for table {name!r} "
+                f"(lineage keys: {sorted(m['lineage'][0]) if m['lineage'] else []})"
+            ) from None
+
+    def rebucket(
+        self, spark: SparkSession, name: str, n_buckets: int,
+        counter_cols: list[str] | None = None,
+    ) -> dict:
+        """Partition-evolution migration (the Iceberg ``REPLACE
+        PARTITION FIELD bucket(N, col) → bucket(M, col)`` analog):
+        rewrite a committed hash-bucketed table into ``n_buckets``
+        buckets on the SAME key, through the normal commit protocol —
+        so the migration is atomic, crash-safe, resumable (same
+        (input, config) ⇒ no-op) and snapshot-logged like any stage;
+        rollback_to restores the old layout. Content is unchanged;
+        only co-location granularity moves (scale driver: bucket count
+        tracks executor count — a table bucketed for 250 executors
+        under-parallelizes on 1000).
+
+        ONE job: read current data, one repartition exchange on the
+        bucket key, write. Raises for non-hash-bucketed layouts (range
+        shards and hive partitions have their own evolution paths)."""
+        m = self.read_manifest(name)
+        if m is None:
+            raise ValueError(f"table {name!r} has no committed manifest")
+        if not m.get("bucket_col"):
+            raise ValueError(
+                f"table {name!r} is not hash-bucketed "
+                f"(bucket_col={m.get('bucket_col')!r}, "
+                f"range_col={m.get('range_col')!r})"
+            )
+        if n_buckets == m.get("n_buckets"):
+            return m  # already in the requested layout
+        return self.commit_stage(
+            self.read_table(spark, name),
+            name,
+            m["input_snapshot"],
+            config_hash=f"{m['config_hash']}+bucket{n_buckets}",
+            counter_cols=counter_cols,
+            bucket_col=m["bucket_col"],
+            n_buckets=n_buckets,
+            sort_within=m.get("sort_within"),
+        )
+
     def rollback_to(self, name: str, seq: int) -> dict:
         """Restore a retained snapshot as current (the Iceberg
         ``rollback_to_snapshot`` analog). Same crash discipline as

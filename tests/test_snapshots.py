@@ -108,3 +108,59 @@ def test_explicit_expire_and_audit_trail(spark, tmp_path):
     assert _read_vals(io, spark, "t", as_of=2) == [2]
     # expired entries stay in the log for lineage audit
     assert [e["snapshot_seq"] for e in io.read_snaplog("t")] == [1, 2, 3]
+
+
+# ------------------------------------------- metadata-only counts (r4)
+
+
+def test_fast_count_serves_from_manifest(spark, tmp_path):
+    """count(*) and lineage-counter totals answered from the manifest
+    with zero data reads — and they match the scan-derived truth."""
+    io = TableIO(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(37)], "k int, amount int"
+    )
+    io.commit_stage(df, "t", input_snapshot="s1", counter_cols=["amount"],
+                    bucket_col="k", n_buckets=4)
+    assert io.fast_count("t") == 37
+    assert io.fast_counter_sum("t", "amount") == sum(i * 10 for i in range(37))
+    assert io.fast_count("t") == io.read_table(spark, "t").count()
+    # uncommitted table and unknown counter both fail loudly
+    with pytest.raises(ValueError, match="no committed manifest"):
+        io.fast_count("nope")
+    with pytest.raises(ValueError, match="not recorded"):
+        io.fast_counter_sum("t", "missing_col")
+
+
+# ------------------------------------------- partition evolution (r4)
+
+
+def test_rebucket_preserves_content_and_updates_layout(spark, tmp_path):
+    io = TableIO(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(f"c{i % 5}", i) for i in range(40)], "conv_id string, v int"
+    )
+    m1 = io.commit_stage(df, "t", input_snapshot="s1",
+                         bucket_col="conv_id", n_buckets=2)
+    before = sorted((r["conv_id"], r["v"])
+                    for r in io.read_table(spark, "t").collect())
+    m2 = io.rebucket(spark, "t", 8)
+    assert m2["n_buckets"] == 8 and m2["bucket_col"] == "conv_id"
+    assert m2["snapshot_seq"] == m1["snapshot_seq"] + 1
+    after = sorted((r["conv_id"], r["v"])
+                   for r in io.read_table(spark, "t").collect())
+    assert after == before
+    assert io.fast_count("t") == 40
+    # resume semantics: same layout request is a no-op
+    m3 = io.rebucket(spark, "t", 8)
+    assert m3["snapshot_seq"] == m2["snapshot_seq"]
+
+
+def test_rebucket_refuses_non_hash_layouts(spark, tmp_path):
+    io = TableIO(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, i) for i in range(10)], "k int, v int")
+    io.commit_stage(df, "r", input_snapshot="s1", range_col="k", n_buckets=2)
+    with pytest.raises(ValueError, match="not hash-bucketed"):
+        io.rebucket(spark, "r", 4)
+    with pytest.raises(ValueError, match="no committed manifest"):
+        io.rebucket(spark, "absent", 4)
