@@ -191,6 +191,7 @@ SPARK_QUERIES = {
     "x_dpo_pairs": xq.x_dpo_pairs,
     "split_leakage_safe": dedup.split_leakage_safe,
     "sample_fixed_per_stratum": textstats.sample_fixed_per_stratum,
+    "c5_search_snippets": serving.c5_search_snippets,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2051,5 +2052,20 @@ ORACLE_SQL = {
                    ) AS rank_in_stratum
             FROM documents
         ) WHERE rank_in_stratum <= 20
+    """,
+    # ES-highlight analog: first-occurrence offset + <em>-wrapped
+    # context window; pure string functions, identical in both engines
+    "c5_search_snippets": """
+        SELECT doc_id,
+               CAST(strpos(lower(text), 'spark') AS INT) AS first_pos,
+               CAST(len(regexp_extract_all(lower(text), 'spark')) AS INT)
+                   AS n_hits,
+               replace(
+                   substr(text,
+                          greatest(1, strpos(lower(text), 'spark') - 30),
+                          65),
+                   'spark', '<em>spark</em>') AS snippet
+        FROM documents
+        WHERE strpos(lower(text), 'spark') > 0
     """,
 }

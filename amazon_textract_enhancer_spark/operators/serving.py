@@ -371,3 +371,35 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+SNIPPET_TERM = "spark"
+SNIPPET_RADIUS = 30
+
+
+def c5_search_snippets(spark: SparkSession, sf_dir: str,
+                       *, term: str = SNIPPET_TERM,
+                       radius: int = SNIPPET_RADIUS) -> DataFrame:
+    """C5 tier (iii) — SNIPPET/HIGHLIGHT extraction, the ES
+    ``highlight`` analog the search UI needs next to every ranked hit:
+    for each matching doc, the first-occurrence offset, total hit
+    count, and a ±radius context window with the term wrapped in
+    <em> tags. Pure string expressions (locate/substring/replace) —
+    map-only over the scan, no shuffle at any corpus size; in the
+    serving flow it runs over the top-k rows of the ranked tiers, so
+    the work is k snippets per query, not a corpus pass."""
+    docs = t(spark, sf_dir, "documents")
+    lo = F.lower(F.col("text"))
+    pos = F.locate(term, lo)
+    start = F.greatest(F.lit(1), pos - radius)
+    snip = F.substring(F.col("text"), start, radius * 2 + F.length(F.lit(term)))
+    return (
+        docs.select(
+            "doc_id",
+            pos.cast("int").alias("first_pos"),
+            F.regexp_count(lo, F.lit(term)).cast("int").alias("n_hits"),
+            F.replace(snip, F.lit(term),
+                      F.lit(f"<em>{term}</em>")).alias("snippet"),
+        )
+        .filter(F.col("first_pos") > 0)
+    )
