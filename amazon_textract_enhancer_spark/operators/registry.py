@@ -192,6 +192,7 @@ SPARK_QUERIES = {
     "split_leakage_safe": dedup.split_leakage_safe,
     "sample_fixed_per_stratum": textstats.sample_fixed_per_stratum,
     "c5_search_snippets": serving.c5_search_snippets,
+    "embed_norm_outliers": similarity.embed_norm_outliers,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2067,5 +2068,28 @@ ORACLE_SQL = {
                    'spark', '<em>spark</em>') AS snippet
         FROM documents
         WHERE strpos(lower(text), 'spark') > 0
+    """,
+    # embedding norm-band outlier flag: exact [p1,p99] boundaries,
+    # 4dp-rounded, broadcast back; norms rounded to 6dp first
+    "embed_norm_outliers": """
+        WITH planted AS (
+            SELECT vec_id, label,
+                   [x * (CASE WHEN vec_id % 97 = 0 THEN 3.0
+                              WHEN vec_id % 101 = 0 THEN 0.01
+                              ELSE 1.0 END)
+                    for x in embedding::DOUBLE[]] AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, label,
+                   round(sqrt(list_sum([x * x for x in v])), 6) AS nrm
+            FROM planted
+        ), qs AS (
+            SELECT round(quantile_cont(nrm, 0.05), 4) AS lo,
+                   round(quantile_cont(nrm, 0.95), 4) AS hi
+            FROM n
+        )
+        SELECT vec_id, label, nrm,
+               (nrm < lo OR nrm > hi) AS is_outlier
+        FROM n CROSS JOIN qs
     """,
 }

@@ -674,3 +674,56 @@ def dedup_semantic(
         F.min("keep_id").alias("duplicate_of"),
         F.max("cos").alias("max_cos"),
     )
+
+
+NORM_OUTLIER_P = (0.05, 0.95)
+
+
+def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus HYGIENE (★) — the pre-ANN sanity pass every
+    vector pipeline runs: flag vectors whose L2 norm falls outside the
+    corpus [p5, p95] band (broken encoders emit near-zero or exploded
+    vectors; both poison cosine/IVF index quality silently). The
+    exact-percentile boundaries are 4dp-rounded so both engines make
+    identical band decisions (the sample_curriculum device); the band
+    is a knob — it must sit inside the healthy-norm mass, because the
+    comparison is strict and a boundary landing ON a tied outlier
+    value would silently unflag it (the p1/p99 default did exactly
+    that on the 2%-planted fixture).
+
+    Plan shape at 10^10 vectors: norms are a map-side higher-order
+    expression; the two boundary numbers come from ONE percentile agg
+    and BROADCAST back — no global sort, no second pass semantics."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # the fixture corpus is EXACTLY unit-norm (no natural outliers), so
+    # broken-encoder vectors are PLANTED deterministically in-plan —
+    # every 97th vector exploded 3x, every 101st collapsed to 0.01x —
+    # and the identical plant exists in the DuckDB twin, so the oracle
+    # compares the detector, not the plant (the text_pii_scrub rule)
+    scale = (
+        F.when(F.col("vec_id") % 97 == 0, F.lit(3.0))
+        .when(F.col("vec_id") % 101 == 0, F.lit(0.01))
+        .otherwise(F.lit(1.0))
+    )
+    emb = emb.select(
+        "vec_id", "label",
+        F.transform(F.col("v"), lambda x: x * scale).alias("v"),
+    )
+    lo_p, hi_p = NORM_OUTLIER_P
+    normed = emb.select(
+        "vec_id", "label", F.round(_norm(F.col("v")), 6).alias("nrm")
+    )
+    qs = normed.agg(
+        F.round(F.percentile("nrm", F.lit(lo_p)), 4).alias("lo"),
+        F.round(F.percentile("nrm", F.lit(hi_p)), 4).alias("hi"),
+    )
+    return normed.crossJoin(F.broadcast(qs)).select(
+        "vec_id",
+        "label",
+        "nrm",
+        ((F.col("nrm") < F.col("lo")) | (F.col("nrm") > F.col("hi"))).alias(
+            "is_outlier"
+        ),
+    )

@@ -485,3 +485,17 @@ def test_sample_importance_weight_table_is_broadcast(spark):
     df = C.sample_importance(spark, SF_DIR)
     assert n_broadcast_joins(df) >= 1, executed_plan(df)
     assert n_exchanges(df) <= 3, executed_plan(df)
+
+
+def test_norm_outliers_flag_exactly_the_planted_set(spark):
+    """The planted broken-encoder vectors (every 97th exploded 3x,
+    every 101st collapsed to 0.01x) must be flagged — all of them and
+    nothing else."""
+    from amazon_textract_enhancer_spark.operators.similarity import (
+        embed_norm_outliers,
+    )
+
+    out = embed_norm_outliers(spark, SF_DIR).toPandas()
+    planted = {i for i in out.vec_id if i % 97 == 0 or i % 101 == 0}
+    assert set(out[out.is_outlier].vec_id) == planted
+    assert len(planted) > 0
