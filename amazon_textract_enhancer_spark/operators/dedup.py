@@ -902,3 +902,73 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("int").alias("cluster_size"),
         split.alias("split"),
     )
+
+
+CDC_BOUNDARY_HEX = "0"  # md5 first hex == '0' → ~1/16 boundary rate
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup census (★) — the FastCDC/Rabin
+    family's answer to shifted text, complementing the fixed-k
+    ``dedup_repeated_spans``: chunk boundaries are HASH-GATED (a token
+    opens a new chunk when md5(token) starts with '0', ~1/16 rate), so
+    inserting a sentence shifts ONE chunk instead of every k-gram —
+    identical downstream content re-aligns on the same boundaries and
+    fingerprints equal. Output: chunk fingerprints appearing in >= 2
+    distinct docs, with doc/occurrence counts — the shared-boilerplate
+    census at chunk granularity.
+
+    Plan shape at 10^12 docs: boundary flags and the running chunk
+    index are ONE doc_id-keyed window over the exploded token stream
+    (docs are short here; for book-length docs the cumsum runs inside
+    a grouped-map per doc instead — same semantics, bounded memory);
+    chunk assembly is a struct-sorted agg per (doc, chunk); the census
+    is one fingerprint-keyed agg — the repeated-spans shape, no pair
+    join anywhere."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
+    )
+    stream = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "w")
+    ).withColumn(
+        "is_boundary",
+        (F.substring(F.md5("w"), 1, 1) == CDC_BOUNDARY_HEX).cast("int"),
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = stream.withColumn(
+        "chunk_idx", F.sum("is_boundary").over(wcum).cast("int")
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos").alias("i"),
+                                     F.col("w").alias("s"))
+                        )
+                    ),
+                    lambda st: st.s,
+                ),
+                " ",
+            )
+        ).alias("chunk_fp"),
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -193,6 +193,7 @@ SPARK_QUERIES = {
     "sample_fixed_per_stratum": textstats.sample_fixed_per_stratum,
     "c5_search_snippets": serving.c5_search_snippets,
     "embed_norm_outliers": similarity.embed_norm_outliers,
+    "dedup_cdc_chunks": dedup.dedup_cdc_chunks,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2091,5 +2092,39 @@ ORACLE_SQL = {
         SELECT vec_id, label, nrm,
                (nrm < lo OR nrm > hi) AS is_outlier
         FROM n CROSS JOIN qs
+    """,
+    # content-defined chunking census: hash-gated boundaries (md5
+    # first hex == '0'), running-sum chunk ids, chunk-fp census
+    "dedup_cdc_chunks": f"""
+        WITH stream AS (
+            SELECT doc_id,
+                   generate_subscripts(L, 1) - 1 AS pos,
+                   unnest(L) AS w
+            FROM (SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS L
+                  FROM documents)
+        ), flagged AS (
+            SELECT doc_id, pos, w,
+                   CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END
+                       AS is_boundary
+            FROM stream
+        ), chunked AS (
+            SELECT doc_id, pos, w,
+                   CAST(sum(is_boundary) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS INT) AS chunk_idx
+            FROM flagged
+        ), chunks AS (
+            SELECT doc_id, chunk_idx,
+                   md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_fp,
+                   CAST(count(*) AS INT) AS n_tokens
+            FROM chunked GROUP BY doc_id, chunk_idx
+        )
+        SELECT chunk_fp,
+               CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+               CAST(count(*) AS INT) AS n_occurrences,
+               max(n_tokens) AS n_tokens,
+               min(doc_id) AS sample_doc
+        FROM chunks GROUP BY chunk_fp
+        HAVING count(DISTINCT doc_id) >= 2
     """,
 }

@@ -224,7 +224,8 @@ def main() -> None:
                    "text_quality_lr", "text_token_fertility",
                    "sample_curriculum", "x_dpo_pairs",
                    "split_leakage_safe", "sample_fixed_per_stratum",
-                   "c5_search_snippets", "embed_norm_outliers")
+                   "c5_search_snippets", "embed_norm_outliers",
+                   "dedup_cdc_chunks")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

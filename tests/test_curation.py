@@ -499,3 +499,24 @@ def test_norm_outliers_flag_exactly_the_planted_set(spark):
     planted = {i for i in out.vec_id if i % 97 == 0 or i % 101 == 0}
     assert set(out[out.is_outlier].vec_id) == planted
     assert len(planted) > 0
+
+
+def test_cdc_chunks_realign_after_insertion(spark, monkeypatch):
+    """The CDC property fixed-k spans lack: inserting a token before a
+    hash-gated boundary leaves every chunk FROM that boundary on
+    identical, so the two docs still share the suffix chunk.
+    ('gamma' has md5 starting '0' -> it opens a chunk.)"""
+    from amazon_textract_enhancer_spark.operators import dedup as D
+
+    a = "one two three gamma tail words here"
+    b = "one two INSERTED three gamma tail words here"
+    df = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    monkeypatch.setattr(D, "t", lambda _s, _d, _n: df)
+    out = D.dedup_cdc_chunks(spark, SF_DIR).toPandas()
+    # the suffix chunk 'gamma tail words here' is shared by both docs
+    shared = out[out.n_docs == 2]
+    assert len(shared) >= 1
+    assert (shared.n_tokens == 4).any()
