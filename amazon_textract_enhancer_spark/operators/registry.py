@@ -194,6 +194,7 @@ SPARK_QUERIES = {
     "c5_search_snippets": serving.c5_search_snippets,
     "embed_norm_outliers": similarity.embed_norm_outliers,
     "dedup_cdc_chunks": dedup.dedup_cdc_chunks,
+    "range_join_binned": rel.range_join_binned,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2126,5 +2127,25 @@ ORACLE_SQL = {
                min(doc_id) AS sample_doc
         FROM chunks GROUP BY chunk_fp
         HAVING count(DISTINCT doc_id) >= 2
+    """,
+    # binned range join: the twin uses the NAIVE theta join (the
+    # semantics), the Spark side the bin-bucketed equi-join (the plan)
+    # — equality of the two IS the point
+    "range_join_binned": """
+        WITH ev AS (
+            SELECT event_id, value,
+                   epoch_us(ts::TIMESTAMP) AS us
+            FROM events
+        ), wins AS (
+            SELECT event_id AS window_id, us AS w_start,
+                   us + 7200::BIGINT * 1000000 AS w_end
+            FROM ev WHERE event_id % 50 = 0
+        )
+        SELECT w.window_id,
+               CAST(count(*) AS INT) AS n_events,
+               round(sum(e.value), 2) AS window_value
+        FROM wins w JOIN ev e
+          ON e.us >= w.w_start AND e.us < w.w_end
+        GROUP BY w.window_id
     """,
 }

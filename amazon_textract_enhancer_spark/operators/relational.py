@@ -415,3 +415,57 @@ def map_fns_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+RANGE_JOIN_BIN_SECONDS = 3600
+RANGE_WINDOW_SECONDS = 7200
+RANGE_WINDOW_EVERY = 50
+
+
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) JOIN, bin-bucketed (★) — the scale pattern for
+    the join Spark's optimizer punts to BroadcastNestedLoop: "count
+    the events inside each maintenance window [start, start+2h)". The
+    naive theta join (e.ts BETWEEN w.start AND w.end) is O(|E|·|W|);
+    bucketing time into 1-hour bins turns it into an EQUI-join on bin
+    — each window explodes to the 2-3 bins it covers, each event maps
+    to its single bin, and the BETWEEN predicate survives only as a
+    cheap residual filter on the hash-join output. An event can meet
+    a window in at most one shared bin (the event's own), so no
+    dedup is needed. The plan is asserted free of nested-loop/
+    cartesian nodes in tests.
+
+    Window table here: every 50th event_id opens a 2-hour window —
+    derived in-plan, twin-replayed (the planted-derivation rule).
+    At 10^12 events × 10^5 windows the bin equi-join shuffles each
+    side once on a fine-grained key; the naive form never finishes."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    binsec = RANGE_JOIN_BIN_SECONDS * 1_000_000
+    wins = ev.filter(F.col("event_id") % RANGE_WINDOW_EVERY == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("us").alias("w_start"),
+        (F.col("us") + RANGE_WINDOW_SECONDS * 1_000_000).alias("w_end"),
+    )
+    wbins = wins.select(
+        "window_id", "w_start", "w_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("w_start") / binsec),
+                F.floor((F.col("w_end") - 1) / binsec),
+            )
+        ).alias("bin"),
+    )
+    ebins = ev.select(
+        "event_id", "value", "us",
+        F.floor(F.col("us") / binsec).alias("bin"),
+    )
+    hits = ebins.join(wbins, "bin").filter(
+        (F.col("us") >= F.col("w_start")) & (F.col("us") < F.col("w_end"))
+    )
+    return hits.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("window_value"),
+    )

@@ -193,3 +193,18 @@ def test_mm_codec_chains_are_shuffle_free(spark):
         df = _q(spark, name)
         assert n_exchanges(df) == 0, (name, executed_plan(df))
         assert "MapInArrow" in executed_plan(df), name
+
+
+def test_range_join_binned_avoids_nested_loop(spark):
+    """The interval join must execute as a hash equi-join on the time
+    bin with the BETWEEN predicate as a residual filter — never as
+    BroadcastNestedLoopJoin / CartesianProduct (the naive theta-join
+    plan, O(|E|x|W|))."""
+    from amazon_textract_enhancer_spark.operators.relational import (
+        range_join_binned,
+    )
+
+    df = range_join_binned(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
