@@ -195,6 +195,7 @@ SPARK_QUERIES = {
     "embed_norm_outliers": similarity.embed_norm_outliers,
     "dedup_cdc_chunks": dedup.dedup_cdc_chunks,
     "range_join_binned": rel.range_join_binned,
+    "text_heavy_hitters": textstats.text_heavy_hitters,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2147,5 +2148,23 @@ ORACLE_SQL = {
         FROM wins w JOIN ev e
           ON e.us >= w.w_start AND e.us < w.w_end
         GROUP BY w.window_id
+    """,
+    # heavy hitters: the twin is the BRUTE-FORCE count-all-then-filter
+    # (shuffle ∝ distinct n-grams); the Spark side is the two-pass
+    # Misra-Gries census (shuffle ∝ candidates). Hash equality proves
+    # the bounded-shuffle path loses no heavy hitter.
+    "text_heavy_hitters": f"""
+        WITH toks AS (
+            SELECT {_TOK} AS L FROM documents
+        ), grams AS (
+            SELECT unnest(CASE WHEN len(L) >= 3
+                   THEN list_transform(generate_series(1, len(L) - 2),
+                                       i -> L[i] || ' ' || L[i+1] || ' '
+                                            || L[i+2])
+                   ELSE [] END) AS ngram
+            FROM toks
+        )
+        SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY ngram HAVING count(*) >= 5
     """,
 }

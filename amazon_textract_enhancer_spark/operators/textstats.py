@@ -418,6 +418,132 @@ def text_token_fertility(spark, sf_dir):
     )
 
 
+HH_NGRAM_K = 3
+HH_MIN_COUNT = 5
+HH_MG_CAPACITY = 65536
+
+
+def heavy_hitters(
+    docs,
+    *,
+    k: int = HH_NGRAM_K,
+    min_count: int = HH_MIN_COUNT,
+    capacity: int = HH_MG_CAPACITY,
+    total_grams: int | None = None,
+) -> DataFrame:
+    """Corpus-wide heavy-hitter n-grams WITHOUT shuffling the full
+    n-gram stream — the bounded-shuffle census a 100-TB corpus needs
+    when distinct-n-gram cardinality ~ corpus size (so the plain
+    ``explode → groupBy`` shuffle would move the whole corpus).
+
+    Two passes (Misra-Gries candidates → exact verify):
+
+    1. **Candidate pass** — one ``mapInPandas`` scan keeps a
+       Misra-Gries summary (Misra & Gries 1982) of ``capacity``
+       counters per PARTITION and emits only the surviving keys
+       (≤ capacity rows/partition). MG's guarantee: any n-gram with
+       partition count > n_p/(capacity+1) survives its partition, so
+       any n-gram with CORPUS count > N/(capacity+1) survives in at
+       least one partition (if it lost everywhere, summing the
+       per-partition bounds caps its corpus count at N/(capacity+1)).
+       With ``min_count > N/(capacity+1)`` the candidate set is a
+       strict superset of the true heavy hitters — regardless of how
+       rows are partitioned, which is what makes the final output
+       deterministic and oracle-checkable.
+    2. **Exact pass** — re-scan, broadcast-SEMI-join the exploded
+       n-grams against the candidates (map-side filter: non-candidates
+       never enter the exchange), exact count, filter ``>= min_count``.
+       False candidates are counted then dropped; true counts are
+       exact, not MG estimates.
+
+    Shuffle budget: pass 1 ships ≤ capacity rows per partition (the
+    ``distinct``), pass 2 shuffles only candidate-n-gram partials —
+    both O(candidates), never O(corpus). Production contract: heavy
+    hitters are RELATIVE (min_count = ceil(φ·N)), so
+    capacity ≈ 1/φ is scale-free; the registry entry pins absolute
+    fixture-scale numbers (5 / 65536; N=260,704 at sf0.1 keeps
+    N/(capacity+1) ≈ 4 < 5) for oracle determinism. Pass the
+    committed corpus-stats ``total_grams`` (same pattern as
+    ``ann_lsh_bucketed``'s corpus_count) to have the bound CHECKED
+    rather than trusted.
+
+    Tokenization mirrors the repo-wide ``TOKEN_PATTERN`` split exactly
+    (Python ``re.split`` on the same pattern keeps leading/trailing
+    empties like Spark's ``split(..., -1)`` and DuckDB's
+    ``regexp_split_to_array``), so pass-1 counts and pass-2/oracle
+    counts see the same n-gram multiset — the superset guarantee
+    depends on it."""
+    if total_grams is not None and (capacity + 1) * min_count <= total_grams:
+        raise ValueError(
+            f"MG guarantee violated: need min_count > total_grams/(capacity+1) "
+            f"but {min_count} <= {total_grams}/{capacity + 1}; raise capacity "
+            f"to >= {total_grams // min_count + 1} or min_count to "
+            f"> {total_grams // (capacity + 1)}"
+        )
+    pat, kk, cap = TOKEN_PATTERN, k, capacity
+
+    def mg_partition(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        rex = _re.compile(pat)
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for txt in pdf["text"]:
+                if txt is None:
+                    continue
+                L = rex.split(txt.lower())
+                for i in range(len(L) - kk + 1):
+                    g = " ".join(L[i : i + kk])
+                    if g in counters:
+                        counters[g] += 1
+                    elif len(counters) < cap:
+                        counters[g] = 1
+                    else:
+                        # miss on a full summary: decrement everything
+                        # (and discard the arrival) — each such step
+                        # burns capacity+1 count credits, bounding any
+                        # key's total decrements by n_p/(capacity+1)
+                        dead = [ky for ky in counters if counters[ky] == 1]
+                        for ky in counters:
+                            counters[ky] -= 1
+                        for ky in dead:
+                            del counters[ky]
+        if counters:
+            yield _pd.DataFrame({"ngram": list(counters)})
+
+    cand = (
+        docs.select("text").mapInPandas(mg_partition, "ngram string").distinct()
+    )
+
+    L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
+    parts = [F.element_at(F.col("L"), F.col("i") + j) for j in range(k)]
+    grams = (
+        docs.select(L.alias("L"))
+        .filter(F.size("L") >= k)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("L") - (k - 1))).alias("i"),
+            "L",
+        )
+        .select(F.concat_ws(" ", *parts).alias("ngram"))
+    )
+    return (
+        grams.join(F.broadcast(cand), "ngram", "left_semi")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def text_heavy_hitters(spark, sf_dir):
+    """Registry form (★): trigram heavy hitters (count >= 5) over
+    `documents` via the two-pass MG census; the DuckDB twin is the
+    brute-force count-all-then-filter, so the value hash pins that the
+    bounded-shuffle path loses nothing."""
+    return heavy_hitters(t(spark, sf_dir, "documents"))
+
+
 SAMPLE_K_PER_STRATUM = 20
 
 
