@@ -331,6 +331,75 @@ def stream_dedup_exact(
     q.awaitTermination()
 
 
+def stream_join_call_results(
+    spark: SparkSession,
+    calls_dir: str,
+    results_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    match_horizon: str = "30 minutes",
+) -> None:
+    """STREAM-STREAM inner join with watermarks on both sides — the
+    completion-matching shape of the reference's async flow (a
+    StartDocumentAnalysis submit stream joined to its SNS completion
+    stream by JobId), here phrased for agent transcripts: a tool-CALL
+    stream joined to its tool-RESULT stream by call_id, with the
+    result required to land inside ``match_horizon`` of the call.
+
+    The event-time range condition is what bounds state: each side
+    buffers only rows newer than (watermark + horizon), so state is
+    O(arrival rate x horizon) per partition, not O(stream). A result
+    arriving later than the watermark allows is DROPPED, never matched
+    retroactively — same late-data contract as the windowed agg. The
+    join keys hash-partition both state stores identically (call_id
+    equi-key), so matching is local to each state partition at any
+    executor count. Exactly-once via the checkpoint; availableNow
+    trigger = one catch-up run per invocation, semantics preserved
+    across restarts because both watermark and buffered state live in
+    the checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    calls = (
+        spark.readStream.schema(
+            "call_id long, conv_id string, tool string, ts timestamp"
+        )
+        .parquet(calls_dir)
+        .withWatermark("ts", watermark)
+    )
+    results = (
+        spark.readStream.schema("call_id long, status string, rts timestamp")
+        .parquet(results_dir)
+        .withWatermark("rts", watermark)
+    )
+    joined = calls.join(
+        results,
+        (calls["call_id"] == results["call_id"])
+        & (results["rts"] >= calls["ts"])
+        & (results["rts"] <= calls["ts"] + F.expr(f"INTERVAL {match_horizon}")),
+        "inner",
+    ).select(
+        calls["call_id"],
+        "conv_id",
+        "tool",
+        "status",
+        calls["ts"].alias("call_ts"),
+        results["rts"].alias("result_ts"),
+        (F.unix_timestamp("rts") - F.unix_timestamp("ts")).alias("latency_s"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def compact_stream_landing(
     spark: SparkSession,
     landing_dir: str,
