@@ -196,6 +196,7 @@ SPARK_QUERIES = {
     "dedup_cdc_chunks": dedup.dedup_cdc_chunks,
     "range_join_binned": rel.range_join_binned,
     "text_heavy_hitters": textstats.text_heavy_hitters,
+    "c5_search_phrase": serving.c5_search_phrase,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2166,5 +2167,20 @@ ORACLE_SQL = {
         )
         SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
         FROM grams GROUP BY ngram HAVING count(*) >= 5
+    """,
+    # phrase search: identical positional-self-join semantics (counts
+    # overlapping occurrences, like a positional-postings engine)
+    "c5_search_phrase": f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS L
+            FROM documents
+        ), p AS (
+            SELECT doc_id, generate_subscripts(L, 1) AS pos, unnest(L) AS term
+            FROM toks
+        )
+        SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'table' AND b.term = 'hash'
+        GROUP BY a.doc_id
     """,
 }

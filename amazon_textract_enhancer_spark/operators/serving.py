@@ -131,6 +131,58 @@ def c5_search_tokens_indexed(tokens: DataFrame, terms: tuple[str, ...],
     )
 
 
+def positional_postings(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id..., pos, term) — positional inverted-index rows (0-based
+    position in the empty-filtered token stream). The committed form of
+    this table (bucketed by term, like the tf tokens table) is what
+    phrase/proximity serving reads at scale."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda x: x != ""
+    )
+    return df.select(*id_cols, F.posexplode(arr).alias("pos", "term"))
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...],
+                  id_col: str = "doc_id") -> DataFrame:
+    """C5 tier (v) — exact phrase match (the ES ``match_phrase``
+    analog): documents containing the words of ``phrase`` at
+    consecutive token positions, with occurrence counts (overlapping
+    occurrences counted — a doc 'a a a' matches phrase ('a','a')
+    twice, same as a positional-postings engine).
+
+    Plan shape: one postings stream per phrase word (term equality
+    filters — against a COMMITTED positional index these are
+    bucket-pruned scans of just the phrase's postings, never the
+    corpus), then an equi-join chain on (doc, pos - word_offset): all
+    joins share the same key, so one hash partitioning serves the
+    whole chain and the work is postings-sized. The classic
+    document-at-a-time alternative (array scan per doc) touches every
+    document; this form touches only docs containing the rarest word
+    after the first join."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 words")
+    pos = positional_postings(docs, "text", [id_col])
+    matches = (
+        pos.filter(F.col("term") == phrase[0])
+        .select(id_col, F.col("pos").alias("p"))
+    )
+    for i, w in enumerate(phrase[1:], 1):
+        nxt = pos.filter(F.col("term") == w).select(
+            id_col, (F.col("pos") - i).alias("p")
+        )
+        matches = matches.join(nxt, [id_col, "p"])
+    return matches.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def c5_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form (★): docs containing the exact phrase
+    'table hash', with occurrence counts; twin = the same positional
+    self-join in DuckDB."""
+    return phrase_search(t(spark, sf_dir, "documents"), ("table", "hash"))
+
+
 def text_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document term frequencies (tf >= 3) via the zero-shuffle
     run-length encoder — the tokens-stage operator, oracle-checked

@@ -225,7 +225,8 @@ def main() -> None:
                    "sample_curriculum", "x_dpo_pairs",
                    "split_leakage_safe", "sample_fixed_per_stratum",
                    "c5_search_snippets", "embed_norm_outliers",
-                   "dedup_cdc_chunks", "range_join_binned")
+                   "dedup_cdc_chunks", "range_join_binned",
+                   "text_heavy_hitters", "c5_search_phrase")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

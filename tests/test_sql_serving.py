@@ -177,3 +177,35 @@ def test_bm25_indexed_equals_self_contained(spark):
             tokens, dl, stats["n"], stats["a"], TFIDF_TERMS).collect()
     }
     assert got == expected
+
+
+def test_phrase_search_overlap_and_chain_semantics(spark):
+    """phrase_search counts OVERLAPPING occurrences (positional-engine
+    semantics) and the join chain generalizes past 2 words; punctuation
+    and case fold through the shared tokenizer."""
+    from amazon_textract_enhancer_spark.operators.serving import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),                 # phrase (a,a): overlaps -> 2
+            (2, "x TABLE, hash! y table hash"),  # case/punct fold -> 2
+            (3, "table x hash"),          # words present, not adjacent
+            (4, "hash table"),            # wrong order
+            (5, None),                    # null text never matches
+            (6, "big table hash join table hash scan"),  # 3-word chain
+        ],
+        "doc_id long, text string",
+    )
+    two = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(docs, ("table", "hash")).collect()
+    }
+    assert two == {(2, 2), (6, 2)}
+    assert {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(docs, ("a", "a")).collect()
+    } == {(1, 2)}
+    assert {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(docs, ("table", "hash", "join")).collect()
+    } == {(6, 1)}
