@@ -621,3 +621,97 @@ def x_dpo_pairs(spark: SparkSession, sf_dir: str,
         .join(rejected, "conv_id")
         .select("conv_id", "role", "prompt", "chosen", "rejected")
     )
+
+
+def x_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet ASSEMBLY (★) — training data for a
+    retrieval/embedding model from transcripts: per (user turn →
+    assistant reply) adjacency,
+
+    - ``anchor``   = the user turn's text,
+    - ``positive`` = the assistant reply that follows it in the same
+      conversation (the aligned pair),
+    - ``negative`` = the representative assistant turn of ANOTHER
+      conversation drawn by a deterministic content hash (the
+      reproducible stand-in for in-batch negatives: same triplets on
+      every run, engine, partitioning — so the assembly is
+      oracle-checkable).
+
+    Negative draw (the classic sample-from-n-minus-1-and-shift rule,
+    exact — never the anchor's own conversation): rank the distinct
+    assistant-bearing conversations 1..n; the anchor draws rank
+    1 + (h mod (n-1)) with h = md5 of its identity, then shifts by +1
+    when the draw is >= its own conversation's rank — a bijection
+    onto the OTHER n-1 conversations. The negative text is that
+    conversation's first assistant turn.
+
+    Plan shape: the adjacency is ONE lead() window per conversation
+    (table bucketed by conv_id — no exchange); the conversation pool
+    is conv-level (4 orders smaller than the turn table), its count
+    is a 1-row broadcast cross join so the pick is computable
+    ANCHOR-SIDE and both pool joins stay equi-joins (a mixed-side
+    modulo condition would force a nested loop). At 10^12 turns the
+    pool is a committed SAMPLE of conversations (exact-k per stratum)
+    with precomputed ranks — the committed-stats discipline of
+    ann_lsh_bucketed's corpus_count; never rank 10^9 conversations
+    with one global window in-query."""
+    from pyspark.sql import Window
+
+    tdf = fixture_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    anchors = (
+        tdf.withColumn("next_role", F.lead("role").over(w))
+        .withColumn("positive", F.lead("text").over(w))
+        .filter(
+            (F.col("role") == "user")
+            & (F.col("next_role") == "assistant")
+            & F.col("text").isNotNull()
+            & F.col("positive").isNotNull()
+        )
+        .select("conv_id", "turn_idx", F.col("text").alias("anchor"), "positive")
+    )
+    # conv-level pool: one representative assistant turn per conv
+    # (min turn_idx — turn_idx is unique per conv so the struct-min is
+    # the F5-stable argmin), ranked by conv_id
+    pool = (
+        tdf.filter((F.col("role") == "assistant") & F.col("text").isNotNull())
+        .groupBy(F.col("conv_id").alias("neg_conv"))
+        .agg(
+            F.min(F.struct("turn_idx", "text"))["text"].alias("neg_text")
+        )
+        .withColumn(
+            "cid", F.row_number().over(Window.orderBy("neg_conv")).cast("long")
+        )
+    )
+    pool_n = pool.agg(F.count(F.lit(1)).cast("long").alias("pool_n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat("conv_id", F.lit(":"), F.col("turn_idx").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    own = pool.select(F.col("neg_conv").alias("conv_id"), F.col("cid").alias("own_cid"))
+    a = (
+        anchors.join(F.broadcast(own), "conv_id")
+        .crossJoin(F.broadcast(pool_n))
+        .withColumn("draw", h % (F.col("pool_n") - 1) + 1)
+        .withColumn(
+            "cid",
+            F.when(F.col("draw") >= F.col("own_cid"), F.col("draw") + 1).otherwise(
+                F.col("draw")
+            ),
+        )
+    )
+    return a.join(F.broadcast(pool), "cid").select(
+        "conv_id",
+        "turn_idx",
+        "anchor",
+        "positive",
+        F.col("neg_text").alias("negative"),
+        "neg_conv",
+    )

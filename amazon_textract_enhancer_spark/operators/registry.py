@@ -197,6 +197,7 @@ SPARK_QUERIES = {
     "range_join_binned": rel.range_join_binned,
     "text_heavy_hitters": textstats.text_heavy_hitters,
     "c5_search_phrase": serving.c5_search_phrase,
+    "x_contrastive_triplets": xq.x_contrastive_triplets,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2182,5 +2183,54 @@ ORACLE_SQL = {
         FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         WHERE a.term = 'table' AND b.term = 'hash'
         GROUP BY a.doc_id
+    """,
+    # contrastive triplets: anchor = user turn, positive = following
+    # assistant reply, negative = the representative assistant turn of
+    # a hash-drawn OTHER conversation (draw from n-1 conv ranks, shift
+    # past the anchor's own rank — exact, never self)
+    "x_contrastive_triplets": f"""
+        WITH tr AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM read_parquet('{_XTRANS}')
+        ), adj AS (
+            SELECT conv_id, turn_idx, role, text AS anchor,
+                   lead(role) OVER w AS next_role,
+                   lead(text) OVER w AS positive
+            FROM tr
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), anchors AS (
+            SELECT conv_id, turn_idx, anchor, positive
+            FROM adj
+            WHERE role = 'user' AND next_role = 'assistant'
+              AND anchor IS NOT NULL AND positive IS NOT NULL
+        ), pool AS (
+            SELECT neg_conv, neg_text,
+                   row_number() OVER (ORDER BY neg_conv) AS cid
+            FROM (
+                SELECT conv_id AS neg_conv,
+                       arg_min(text, turn_idx) AS neg_text
+                FROM tr WHERE role = 'assistant' AND text IS NOT NULL
+                GROUP BY conv_id
+            )
+        ), n AS (
+            SELECT CAST(count(*) AS BIGINT) AS pool_n FROM pool
+        ), a AS (
+            SELECT anchors.*, own.cid AS own_cid, pool_n,
+                   ('0x' || substr(md5(anchors.conv_id || ':'
+                                       || anchors.turn_idx), 1, 8))
+                       ::BIGINT AS h
+            FROM anchors
+            JOIN pool own ON own.neg_conv = anchors.conv_id
+            CROSS JOIN n
+        ), picked AS (
+            SELECT *,
+                   CASE WHEN h % (pool_n - 1) + 1 >= own_cid
+                        THEN h % (pool_n - 1) + 2
+                        ELSE h % (pool_n - 1) + 1 END AS cid
+            FROM a
+        )
+        SELECT p.conv_id, p.turn_idx, p.anchor, p.positive,
+               pool.neg_text AS negative, pool.neg_conv
+        FROM picked p JOIN pool USING (cid)
     """,
 }

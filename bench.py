@@ -226,7 +226,8 @@ def main() -> None:
                    "split_leakage_safe", "sample_fixed_per_stratum",
                    "c5_search_snippets", "embed_norm_outliers",
                    "dedup_cdc_chunks", "range_join_binned",
-                   "text_heavy_hitters", "c5_search_phrase")
+                   "text_heavy_hitters", "c5_search_phrase",
+                   "x_contrastive_triplets")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

@@ -520,3 +520,34 @@ def test_cdc_chunks_realign_after_insertion(spark, monkeypatch):
     shared = out[out.n_docs == 2]
     assert len(shared) >= 1
     assert (shared.n_tokens == 4).any()
+
+
+def test_contrastive_triplets_alignment_and_negatives(spark):
+    """Every triplet's (anchor, positive) is a real user→assistant
+    adjacency in its conversation, the negative is genuine assistant
+    text from the reported OTHER conversation, and no negative ever
+    comes from the anchor's own conversation (the half-pool-stride
+    fallback) — at both driver fixture sizes. Deterministic across
+    invocations (the hash draw has no RNG)."""
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        fixture_transcripts,
+        x_contrastive_triplets,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        out = x_contrastive_triplets(spark, sf).toPandas()
+        raw = fixture_transcripts(spark, sf).toPandas()
+        assert len(out) >= 1
+        assert (out.neg_conv != out.conv_id).all()
+        idx = raw.set_index(["conv_id", "turn_idx"])
+        for _, r in out.head(25).iterrows():
+            assert idx.loc[(r.conv_id, r.turn_idx)].role == "user"
+            assert idx.loc[(r.conv_id, r.turn_idx)].text == r.anchor
+            nxt = idx.loc[(r.conv_id, r.turn_idx + 1)]
+            assert nxt.role == "assistant" and nxt.text == r.positive
+            negs = raw[(raw.conv_id == r.neg_conv) & (raw.role == "assistant")]
+            assert (negs.text == r.negative).any()
+        again = x_contrastive_triplets(spark, sf).toPandas()
+        assert out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
+            again.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
