@@ -453,8 +453,22 @@ def ivf_search(
     from ..sources.tableio import TableIO
 
     io = TableIO(warehouse)
-    idx = io.read_table(spark, "ivf_index")
-    cents = io.read_table(spark, "ivf_centroids")
+    return _ivf_probe_search(
+        io.read_table(spark, "ivf_index"),
+        io.read_table(spark, "ivf_centroids"),
+        query_vec_id, nprobe, k,
+    )
+
+
+def _ivf_probe_search(
+    idx: DataFrame,
+    cents: DataFrame,
+    query_vec_id: int,
+    nprobe: int,
+    k: int,
+) -> DataFrame:
+    """Shared probe-search kernel over any (vec_id, uv, bucket) index
+    view — main or main+delta merged."""
     q = idx.filter(F.col("vec_id") == query_vec_id).select(F.col("uv").alias("qv"))
     probe = (
         cents.crossJoin(F.broadcast(q))
@@ -472,6 +486,129 @@ def ivf_search(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+IVF_DELTA_CFG = "ivf-delta-v1"
+
+
+def ivf_index_refresh(
+    spark: SparkSession,
+    warehouse: str,
+    new_emb: DataFrame,
+    input_snapshot: str,
+    *,
+    stale_vec_ids: DataFrame | None = None,
+) -> dict:
+    """Main+delta refresh of the committed IVF index — the FAISS
+    add-with-frozen-quantizer pattern, and the ANN twin of
+    ``index_maintenance.refresh_serving_index``: new/changed vectors
+    are assigned to the EXISTING committed centroids (the quantizer is
+    a model artifact; retraining it would re-bucket the whole corpus)
+    and committed as an accumulating ``ivf_index_delta`` segment,
+    hive-partitioned by bucket like main; a stale vec_id list masks
+    superseded/deleted vectors out of main at query time (broadcast
+    anti-join — main is never rewritten).
+
+    Every changed vector's id lands in the stale list (its main row is
+    superseded); deleted vectors are passed via ``stale_vec_ids`` with
+    no row in ``new_emb``. Deltas ACCUMULATE across refreshes; a
+    re-changed vector's prior delta row is dropped (the new stale list
+    supersedes it). Cost per refresh ∝ delta size: one
+    broadcast-centroid argmax over the new vectors plus two small
+    commits — at 10^12 indexed vectors a daily 0.1% diff costs 10^9
+    assignment rows, not an index rebuild. Centroid drift is handled
+    at compaction cadence (``ivf_compact`` folds under the same
+    centroids; a full retrain is a new ``ivf_build_index``)."""
+    from ..sources.tableio import TableIO
+
+    io = TableIO(warehouse)
+    cents = io.read_table(spark, "ivf_centroids")
+    assigned = _assign_buckets(_unit_vectors(new_emb), cents).select(
+        "vec_id", "v", "uv", "bucket"
+    )
+    new_stale = (
+        stale_vec_ids if stale_vec_ids is not None else new_emb
+    ).select("vec_id").distinct()
+    prev = io.read_manifest("ivf_index_delta")
+    if prev is not None and prev["rows"] > 0:
+        prev_delta = io.read_table(spark, "ivf_index_delta").join(
+            F.broadcast(new_stale), "vec_id", "left_anti"
+        )
+        assigned = prev_delta.unionByName(assigned)
+    if io.read_manifest("ivf_stale_vecs") is not None:
+        new_stale = (
+            io.read_table(spark, "ivf_stale_vecs")
+            .unionByName(new_stale)
+            .distinct()
+        )
+    m_delta = io.commit_stage(
+        assigned, "ivf_index_delta", input_snapshot, IVF_DELTA_CFG,
+        partition_by="bucket",
+    )
+    m_stale = io.commit_stage(
+        new_stale, "ivf_stale_vecs", input_snapshot, IVF_DELTA_CFG
+    )
+    return {"ivf_index_delta": m_delta, "ivf_stale_vecs": m_stale}
+
+
+def read_ivf_index_merged(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Query-time view: main minus stale vec_ids (broadcast anti-join,
+    no shuffle of main), plus the delta segment."""
+    from ..sources.tableio import TableIO
+
+    io = TableIO(warehouse)
+    if io.read_manifest("ivf_index_delta") is None:
+        return io.read_table(spark, "ivf_index")
+    delta = io.read_table(spark, "ivf_index_delta")
+    if io.read_manifest("ivf_index") is None:
+        return delta
+    main = io.read_table(spark, "ivf_index")
+    stale = io.read_table(spark, "ivf_stale_vecs")
+    return main.join(F.broadcast(stale), "vec_id", "left_anti").unionByName(delta)
+
+
+def ivf_search_merged(
+    spark: SparkSession,
+    warehouse: str,
+    *,
+    query_vec_id: int = QUERY_VEC_ID,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """IVF probed search over the merged (main+delta) index view —
+    identical ranking semantics to ``ivf_search``, refresh-aware."""
+    from ..sources.tableio import TableIO
+
+    io = TableIO(warehouse)
+    return _ivf_probe_search(
+        read_ivf_index_merged(spark, warehouse),
+        io.read_table(spark, "ivf_centroids"),
+        query_vec_id, nprobe, k,
+    )
+
+
+def ivf_compact(spark: SparkSession, warehouse: str, input_snapshot: str) -> dict:
+    """Fold the delta segment into main under the SAME centroids (one
+    rewrite, amortized over the refreshes since the last compaction)
+    and reset delta/stale — the ANN analog of
+    ``index_maintenance.compact_serving_index``. Commits under
+    ``<input_snapshot>:compacted`` so the reset is not swallowed by the
+    refresh's own manifests."""
+    from ..sources.tableio import TableIO
+
+    io = TableIO(warehouse)
+    snap = f"{input_snapshot}:compacted"
+    merged = read_ivf_index_merged(spark, warehouse)
+    m_main = io.commit_stage(
+        merged, "ivf_index", snap, IVF_DELTA_CFG, partition_by="bucket"
+    )
+    empty_idx = spark.createDataFrame(
+        [], "vec_id long, v array<double>, uv array<double>, bucket int"
+    )
+    empty_stale = spark.createDataFrame([], "vec_id long")
+    io.commit_stage(empty_idx, "ivf_index_delta", snap, IVF_DELTA_CFG)
+    io.commit_stage(empty_stale, "ivf_stale_vecs", snap, IVF_DELTA_CFG)
+    return {"ivf_index": m_main}
 
 
 def ivf_warehouse_for(sf_dir: str) -> str:

@@ -99,3 +99,77 @@ def test_build_and_search_never_collect_to_driver(spark, monkeypatch):
     df = ivf_search(spark, wh, nprobe=3, k=5)  # must build lazily
     monkeypatch.undo()
     assert len(df.collect()) == 5
+
+
+def test_delta_refresh_merge_supersede_delete_and_compaction(spark, tmp_path):
+    """Main+delta maintenance: (1) vectors added by refresh are
+    assigned with the FROZEN committed centroids and the merged view
+    equals a frozen-centroid assignment of the full current corpus;
+    (2) a changed vector's main row is superseded by its delta row;
+    (3) a stale-only id is deleted from the merged view; (4) compaction
+    folds delta into main with identical content and resets the
+    segment; (5) merged search ranks exactly like search over the
+    compacted main."""
+    from pyspark.sql import functions as F
+
+    from amazon_textract_enhancer_spark.operators.io_util import t
+    from amazon_textract_enhancer_spark.operators.similarity import (
+        _assign_buckets,
+        _unit_vectors,
+        ivf_compact,
+        ivf_index_refresh,
+        ivf_search_merged,
+        read_ivf_index_merged,
+    )
+
+    wh = str(tmp_path / "ivf-wh")
+    emb = t(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    ivf_build_index(spark, base, wh)
+    io = TableIO(wh)
+    cents = io.read_table(spark, "ivf_centroids")
+
+    # refresh 1: the held-out 20% arrive, plus vec 1 changes (negated)
+    changed = emb.filter(F.col("vec_id") == 1).select(
+        "vec_id", F.transform("v", lambda x: -x).alias("v")
+    )
+    new = emb.filter(F.col("vec_id") % 5 == 0).unionByName(changed)
+    ivf_index_refresh(spark, wh, new, "r1")
+
+    merged = read_ivf_index_merged(spark, wh)
+    full_now = emb.filter(F.col("vec_id") != 1).unionByName(changed)
+    expect = _assign_buckets(_unit_vectors(full_now), cents).select(
+        "vec_id", "bucket"
+    )
+    got = {(r["vec_id"], r["bucket"]) for r in merged.select("vec_id", "bucket").collect()}
+    want = {(r["vec_id"], r["bucket"]) for r in expect.collect()}
+    assert got == want
+    # the changed vector carries the NEW value in the merged view
+    v1 = merged.filter(F.col("vec_id") == 1).select("v").collect()
+    orig1 = emb.filter(F.col("vec_id") == 1).select("v").collect()
+    assert len(v1) == 1 and v1[0]["v"] == [-x for x in orig1[0]["v"]]
+
+    # refresh 2: delete vec 2 (stale-only, no replacement row)
+    ivf_index_refresh(
+        spark, wh,
+        emb.filter(F.col("vec_id") < 0),  # empty new batch
+        "r2",
+        stale_vec_ids=spark.createDataFrame([(2,)], "vec_id long"),
+    )
+    merged2 = read_ivf_index_merged(spark, wh)
+    assert merged2.filter(F.col("vec_id") == 2).count() == 0
+    assert merged2.count() == emb.count() - 1  # vec 2 gone, vec 1 replaced
+
+    # merged search == search over the compacted main (rebuild equality)
+    before = [(r["vec_id"], r["cos_sim"])
+              for r in ivf_search_merged(spark, wh).collect()]
+    ivf_compact(spark, wh, "r2")
+    assert io.read_table(spark, "ivf_index_delta").count() == 0
+    assert io.read_table(spark, "ivf_stale_vecs").count() == 0
+    after = [(r["vec_id"], r["cos_sim"]) for r in ivf_search(spark, wh).collect()]
+    assert before == after
+    merged3 = {(r["vec_id"], r["bucket"])
+               for r in read_ivf_index_merged(spark, wh).select("vec_id", "bucket").collect()}
+    assert merged3 == {(v, b) for v, b in got if v != 2}
