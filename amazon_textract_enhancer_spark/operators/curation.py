@@ -806,3 +806,174 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage.cast("int").alias("stage"),
         F.md5(F.col("doc_id").cast("string")).alias("order_key"),
     )
+
+
+# Bloom gate sizing: m bits / j hashes. At m=2^18 and a few thousand
+# eval n-grams the false-positive rate is ~(j*n/m)^j ≈ 1e-5 — and FPs
+# only cost a little extra verify-join input, never a wrong answer.
+BLOOM_BITS = 1 << 18
+BLOOM_HASHES = 3
+
+
+def _bloom_word_table(ngrams: DataFrame, col: str = "shingle") -> DataFrame:
+    """Aggregate a set of n-grams into a Bloom bitmap held as a tiny
+    (word_idx, word) long table: each n-gram sets BLOOM_HASHES bit
+    positions pmod(xxhash64(ngram, i), m); bits pack into 64-bit words
+    via bit_or. The table is at most m/64 rows (4096 longs = 32 KB at
+    m=2^18) REGARDLESS of eval-set size — always broadcastable."""
+    pos = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_HASHES)
+    ]
+    return (
+        ngrams.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bitmask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bitmask").alias("word"))
+    )
+
+
+def _bloom_gate(df: DataFrame, words: DataFrame, col: str = "shingle") -> DataFrame:
+    """Keep only rows whose ``col`` is (maybe) in the Bloom filter:
+    BLOOM_HASHES successive broadcast-hash probes of the word table,
+    each an inner equi-join on the word index plus a bit test — pure
+    map-side work, no shuffle of ``df``. May pass false positives
+    (callers must exact-verify); never drops a true member."""
+    out = df
+    for i in range(BLOOM_HASHES):
+        pos = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(BLOOM_BITS))
+        w = words.select(
+            F.col("word_idx").alias(f"_bf_wi{i}"), F.col("word").alias(f"_bf_w{i}")
+        )
+        out = (
+            out.withColumn(f"_bf_pos{i}", pos)
+            .join(
+                F.broadcast(w),
+                F.shiftright(F.col(f"_bf_pos{i}"), 6) == F.col(f"_bf_wi{i}"),
+                "inner",
+            )
+            .filter(
+                F.expr(
+                    f"(_bf_w{i} & shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(pmod(_bf_pos{i}, 64) AS INT))) != 0"
+                )
+            )
+            .drop(f"_bf_wi{i}", f"_bf_w{i}", f"_bf_pos{i}")
+        )
+    return out
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = DECONTAM_K,
+    overlap_min: float = DECONTAM_OVERLAP_MIN,
+) -> DataFrame:
+    """Bloom-gated benchmark DECONTAMINATION (★) — same output
+    contract (and DuckDB twin) as ``decontaminate_ngram_overlap``, but
+    the plan is the one you want when the held-out side is too big to
+    broadcast (full holdout splits, multi-benchmark unions): instead of
+    shuffling every corpus n-gram into the verify join, the corpus
+    stream is pre-filtered by a Bloom filter of the eval n-grams.
+
+    The Bloom filter is built IN-PLAN (no driver hop, no collect):
+    ``_bloom_word_table`` packs the eval n-grams' hash positions into
+    a <=32 KB (word_idx, word) bitmap table, and ``_bloom_gate`` probes
+    it with BLOOM_HASHES broadcast-hash joins — so the gate costs three
+    map-side hash probes per corpus n-gram and the verify join (here
+    hinted shuffle_hash to model the non-broadcastable eval side) sees
+    only true hits plus a ~1e-5 sliver of false positives, which the
+    exact join then removes. Output is therefore bit-identical to the
+    exact operator at any filter size: the Bloom can only add verify
+    input, never answers. Totals (``n_ngrams``) come from the UNGATED
+    per-doc count so overlap fractions match exactly."""
+    docs = t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    bench_ngrams = (
+        _shingles(docs.filter(is_eval), k=k).select("shingle").distinct()
+    )
+    corpus_ngrams = _shingles(docs.filter(~is_eval), k=k)
+    totals = corpus_ngrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams")
+    )
+    gated = _bloom_gate(corpus_ngrams, _bloom_word_table(bench_ngrams))
+    hits = (
+        gated.join(bench_ngrams.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_ngrams"), 4)
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("int").alias("n_ngrams"),
+            F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit",
+            frac.alias("overlap_frac"),
+            (frac >= overlap_min).alias("contaminated"),
+        )
+    )
+
+
+NOVELTY_BUCKET_DOCS = 50
+
+
+def text_novelty_by_bucket(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 3,
+    bucket_docs: int = NOVELTY_BUCKET_DOCS,
+) -> DataFrame:
+    """Corpus NOVELTY curve (★) — the crawl-freshness audit: treat
+    doc_id order as ingest order, bucket every ``bucket_docs`` docs,
+    and measure per bucket how many of its distinct k-gram types are
+    NEW to the corpus (first bucket where the n-gram appears). A
+    healthy growing crawl keeps ``novelty_rate`` well above zero; a
+    stalled/recrawled source trends toward pure repeats — the signal
+    dataset teams watch before adding a snapshot to the mix.
+
+    Plan shape: one shingle explode -> distinct (bucket, shingle)
+    (ngram-keyed shuffle), a min-bucket agg per shingle for first-seen
+    attribution (same key, ReusedExchange-able), then two tiny
+    bucket-keyed counts joined. Nothing is ever keyed by doc, and the
+    heavy shuffles carry (bucket, shingle) pairs once — at 10^12 docs
+    this is the same single-posting-scan shape as the n-gram dedup
+    family."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs, k=k).select(
+        F.floor(F.col("doc_id") / bucket_docs).cast("int").alias("bucket"),
+        "shingle",
+    )
+    bsh = sh.distinct()
+    totals = bsh.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_distinct_ngrams")
+    )
+    novel = (
+        bsh.groupBy("shingle")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        totals.join(novel, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_distinct_ngrams").cast("int").alias("n_distinct_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).cast("int").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_distinct_ngrams"), 4
+            ).alias("novelty_rate"),
+        )
+    )

@@ -198,6 +198,8 @@ SPARK_QUERIES = {
     "text_heavy_hitters": textstats.text_heavy_hitters,
     "c5_search_phrase": serving.c5_search_phrase,
     "x_contrastive_triplets": xq.x_contrastive_triplets,
+    "decontaminate_bloom": cur.decontaminate_bloom,
+    "text_novelty_by_bucket": cur.text_novelty_by_bucket,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2232,5 +2234,68 @@ ORACLE_SQL = {
         SELECT p.conv_id, p.turn_idx, p.anchor, p.positive,
                pool.neg_text AS negative, pool.neg_conv
         FROM picked p JOIN pool USING (cid)
+    """,
+    # decontaminate_bloom's twin is the EXACT decontamination SQL: the
+    # Bloom gate on the Spark side is a pure candidate pre-filter whose
+    # false positives are removed by the exact verify join, so the
+    # outputs must be bit-identical — which is precisely what this twin
+    # pins every round
+    "decontaminate_bloom": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
+                   {_TOK} AS L
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, is_eval,
+                   unnest(CASE WHEN len(L) >= 5
+                          THEN list_transform(generate_series(1, len(L) - 4),
+                                i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2]
+                                     || ' ' || L[i+3] || ' ' || L[i+4])
+                          ELSE [] END) AS shingle
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE is_eval
+        ), corpus AS (
+            SELECT doc_id, shingle FROM sh WHERE NOT is_eval
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY 1
+        ), hits AS (
+            SELECT c.doc_id, count(*) AS n_hit
+            FROM corpus c JOIN bench b USING (shingle) GROUP BY 1
+        )
+        SELECT t.doc_id, CAST(t.n_ngrams AS INT) AS n_ngrams,
+               CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+               round(coalesce(h.n_hit, 0) * 1.0 / t.n_ngrams, 4)
+                   AS overlap_frac,
+               round(coalesce(h.n_hit, 0) * 1.0 / t.n_ngrams, 4)
+                   >= {cur.DECONTAM_OVERLAP_MIN} AS contaminated
+        FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    "text_novelty_by_bucket": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOK} AS L FROM documents
+        ), sh AS (
+            SELECT DISTINCT CAST(doc_id // {cur.NOVELTY_BUCKET_DOCS} AS INT)
+                       AS bucket,
+                   unnest(CASE WHEN len(L) >= 3
+                          THEN list_transform(generate_series(1, len(L) - 2),
+                                i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
+                          ELSE [] END) AS shingle
+            FROM toks
+        ), totals AS (
+            SELECT bucket, count(*) AS n_distinct_ngrams
+            FROM sh GROUP BY 1
+        ), novel AS (
+            SELECT bucket, count(*) AS n_novel FROM (
+                SELECT shingle, min(bucket) AS bucket FROM sh GROUP BY 1
+            ) GROUP BY 1
+        )
+        SELECT t.bucket,
+               CAST(t.n_distinct_ngrams AS INT) AS n_distinct_ngrams,
+               CAST(coalesce(n.n_novel, 0) AS INT) AS n_novel,
+               round(coalesce(n.n_novel, 0) * 1.0 / t.n_distinct_ngrams, 4)
+                   AS novelty_rate
+        FROM totals t LEFT JOIN novel n ON t.bucket = n.bucket
     """,
 }

@@ -551,3 +551,96 @@ def test_contrastive_triplets_alignment_and_negatives(spark):
         assert out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
             again.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         )
+
+
+# ------------------------------------------------------- bloom decontam
+
+
+def test_bloom_decontaminate_matches_exact_operator(spark):
+    """The Bloom gate is a candidate pre-filter whose false positives
+    die in the exact verify join — so the bloom-gated operator must be
+    ROW-IDENTICAL to the exact one on the same corpus."""
+    exact = sorted(
+        map(tuple, C.decontaminate_ngram_overlap(spark, SF_DIR).collect())
+    )
+    gated = sorted(map(tuple, C.decontaminate_bloom(spark, SF_DIR).collect()))
+    assert gated == exact
+    assert len(exact) > 0
+
+
+def test_bloom_gate_keeps_members_and_drops_most_nonmembers(spark):
+    """Direct unit test of the filter primitives: every true member
+    survives the gate (no false negatives, the Bloom guarantee) and
+    the non-member pass-through rate is far below 1 (the gate actually
+    gates — at m=2^18/j=3 and ~100 set n-grams the FP rate is ~0)."""
+    members = spark.createDataFrame(
+        [(f"ngram {i} x",) for i in range(100)], "shingle string"
+    )
+    words = C._bloom_word_table(members)
+    probe = spark.createDataFrame(
+        [(f"ngram {i} x",) for i in range(100)]
+        + [(f"other {i} y",) for i in range(2000)],
+        "shingle string",
+    )
+    kept = {r["shingle"] for r in C._bloom_gate(probe, words).collect()}
+    assert all(f"ngram {i} x" in kept for i in range(100))
+    false_pos = len(kept) - 100
+    assert false_pos <= 20, f"bloom passed {false_pos}/2000 non-members"
+
+
+def test_bloom_plan_probes_are_broadcast_and_verify_is_shuffled(spark):
+    """Plan shape: the three Bloom probes are map-side broadcast-hash
+    joins (the corpus n-gram stream never shuffles to be gated), and
+    the verify join is the hinted ShuffledHashJoin — the shape that
+    holds when the eval side is too big to broadcast."""
+    df = C.decontaminate_bloom(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert n_broadcast_joins(df) >= C.BLOOM_HASHES, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------- novelty
+
+
+def test_novelty_first_bucket_attribution(spark, monkeypatch):
+    """Hand-built two-bucket corpus: bucket 0 is all-novel by
+    definition; bucket 1 repeats 3 of its 4 n-gram types, so its
+    novelty rate is exactly 0.25."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),  # bucket 0: "a b c", "b c d"
+            (1, "e f g"),    # bucket 0: "e f g"
+            (2, "a b c d"),  # bucket 1: repeats both
+            (3, "e f g h"),  # bucket 1: "e f g" repeat, "f g h" novel
+        ],
+        "doc_id bigint, text string",
+    )
+    monkeypatch.setattr(C, "t", lambda _s, _d, _n: df)
+    out = {
+        r["bucket"]: r
+        for r in C.text_novelty_by_bucket(
+            spark, SF_DIR, bucket_docs=2
+        ).collect()
+    }
+    assert out[0]["n_distinct_ngrams"] == 3
+    assert out[0]["n_novel"] == 3
+    assert out[0]["novelty_rate"] == 1.0
+    assert out[1]["n_distinct_ngrams"] == 4
+    assert out[1]["n_novel"] == 1
+    assert out[1]["novelty_rate"] == 0.25
+
+
+def test_novelty_shuffles_are_ngram_keyed_once(spark):
+    """The heavy lifting is the distinct (bucket, shingle) pass and the
+    min-bucket attribution — both shingle-keyed, and Catalyst must
+    reuse the distinct's exchange for the attribution instead of
+    re-shuffling the corpus."""
+    df = C.text_novelty_by_bucket(spark, SF_DIR)
+    plan = executed_plan(df)
+    shingle_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(shingle" in line
+    )
+    assert shingle_exchanges <= 2, plan
+    assert "ReusedExchange" in plan or shingle_exchanges == 1, plan
