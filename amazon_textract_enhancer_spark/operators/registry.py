@@ -200,6 +200,7 @@ SPARK_QUERIES = {
     "x_contrastive_triplets": xq.x_contrastive_triplets,
     "decontaminate_bloom": cur.decontaminate_bloom,
     "text_novelty_by_bucket": cur.text_novelty_by_bucket,
+    "layout_zorder_key": scale.layout_zorder_key,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2297,5 +2298,17 @@ ORACLE_SQL = {
                round(coalesce(n.n_novel, 0) * 1.0 / t.n_distinct_ngrams, 4)
                    AS novelty_rate
         FROM totals t LEFT JOIN novel n ON t.bucket = n.bucket
+    """,
+    # the twin evaluates the IDENTICAL 32-term bit-interleave formula
+    # (generated by the same helper), differing only in the engine's
+    # hex-to-int idiom for the lang dimension
+    "layout_zorder_key": f"""
+        SELECT doc_id,
+               CAST(least(n_chars, 65535) AS INT) AS u_chars,
+               CAST({scale._ZORDER_U2_DUCK} AS INT) AS u_lang,
+               CAST({scale._bit_interleave_sql(scale._ZORDER_U1,
+                                               scale._ZORDER_U2_DUCK)}
+                    AS BIGINT) AS zkey
+        FROM documents
     """,
 }

@@ -81,3 +81,71 @@ def salted_conv_rollup(spans: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
         F.sum("_n_skipped").cast("long").alias("n_skipped"),
         F.sum("_n_chars").cast("long").alias("n_chars"),
     )
+
+
+# ------------------------------------------------------- z-order layout
+#
+# Multi-dimensional data clustering for file-level pruning (the Delta
+# OPTIMIZE ZORDER BY / Iceberg sort-order analog, built from plain
+# expressions + repartitionByRange): interleaving the bits of two
+# dimension codes gives every written file a compact z-range, so
+# min/max file stats prune scans filtered on EITHER dimension — the
+# property a single-column sort only gives its leading column.
+
+ZORDER_BITS = 16
+
+
+def _bit_interleave_sql(u1: str, u2: str, bits: int = ZORDER_BITS) -> str:
+    """SQL expression (valid in BOTH Spark SQL and DuckDB) interleaving
+    the low ``bits`` bits of two non-negative int expressions: u1's
+    bit b lands at position 2b+1, u2's at 2b (u1 is the major dim)."""
+    # every term fully parenthesized: DuckDB/Postgres give << and &
+    # LOWER precedence than +, so an unwrapped `x << 3 + y << 5` chain
+    # parses as nested shifts and overflows
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({u1}) >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"(((({u2}) >> {b}) & 1) << {2 * b})")
+    return "(" + " + ".join(terms) + ")"
+
+
+# dimension codes for the documents table: n_chars is order-preserving
+# (range predicates prune); lang is categorical, spread over the 16-bit
+# space by md5 so equality predicates prune (engine-portable: both
+# Spark and DuckDB agree on md5 hex)
+_ZORDER_U1 = "least(n_chars, 65535)"
+_ZORDER_U2_SPARK = "CAST(conv(substring(md5(lang), 1, 4), 16, 10) AS BIGINT)"
+_ZORDER_U2_DUCK = "(('0x' || substr(md5(lang), 1, 4))::BIGINT)"
+
+
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering key (★) over documents on the
+    (n_chars, lang) dimension pair. The key itself is pure codegen —
+    32 shift/mask/add terms, no UDF, no shuffle; writers then
+    ``repartitionByRange(zkey)`` + sort-within to get z-clustered
+    files (see ``zorder_layout`` and test_zorder_layout). The DuckDB
+    twin evaluates the identical bit arithmetic, so every interleaved
+    bit is value-hash-pinned."""
+    z = _bit_interleave_sql(_ZORDER_U1, _ZORDER_U2_SPARK)
+    return t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(least(n_chars, 65535) AS INT) AS u_chars",
+        f"CAST({_ZORDER_U2_SPARK} AS INT) AS u_lang",
+        f"CAST({z} AS BIGINT) AS zkey",
+    )
+
+
+def zorder_layout(
+    df: DataFrame, u1_sql: str, u2_sql: str, n_files: int
+) -> DataFrame:
+    """Return ``df`` arranged for a z-clustered write: compute the
+    interleaved key, range-partition on it into ``n_files`` output
+    splits and sort within each — the exact write layout Delta's
+    OPTIMIZE ZORDER produces. Cost: one range exchange (sampled
+    bounds), no global sort."""
+    z = _bit_interleave_sql(u1_sql, u2_sql)
+    return (
+        df.withColumn("zkey", F.expr(z).cast("long"))
+        .repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+    )
