@@ -201,6 +201,7 @@ SPARK_QUERIES = {
     "decontaminate_bloom": cur.decontaminate_bloom,
     "text_novelty_by_bucket": cur.text_novelty_by_bucket,
     "layout_zorder_key": scale.layout_zorder_key,
+    "embed_covariance": similarity.embed_covariance,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2310,5 +2311,28 @@ ORACLE_SQL = {
                                                scale._ZORDER_U2_DUCK)}
                     AS BIGINT) AS zkey
         FROM documents
+    """,
+    # covariance twin: the identical round-to-6dp-then-DECIMAL-sum
+    # protocol, so both engines' sums are exact and order-independent
+    "embed_covariance": """
+        WITH x AS (
+            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xv
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)
+        ), sij AS (
+            SELECT a.i, b.i AS j,
+                   sum(CAST(round(a.xv * b.xv, 6) AS DECIMAL(24,6))) AS s_ij,
+                   count(*) AS n
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        ), si AS (
+            SELECT i, sum(CAST(round(xv, 6) AS DECIMAL(24,6))) AS s
+            FROM x GROUP BY 1
+        )
+        SELECT CAST(sij.i AS INT) AS i, CAST(sij.j AS INT) AS j,
+               round((CAST(s_ij AS DOUBLE)
+                      - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) / n) / n,
+                     6) + 0.0 AS cov_ij
+        FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j
     """,
 }

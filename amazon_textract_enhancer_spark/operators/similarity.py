@@ -864,3 +864,67 @@ def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding COVARIANCE matrix (★) — the one-scan statistic under
+    PCA/whitening/drift monitoring: upper-triangular (i, j, cov_ij)
+    over the embedding column, 1-based indices.
+
+    Plan shape: per row the d(d+1)/2 products are generated IN-ROW
+    (nested transform over the array + a slice so only i<=j exists,
+    then one explode) and partially aggregated map-side — the shuffle
+    carries at most d(d+1)/2 keys per task regardless of corpus size,
+    which is the d²-accumulator plan you want at 10^12 vectors. Means
+    come from a second, d-key agg over the same scan lineage.
+
+    Cross-engine determinism: each product (and each component, for
+    the means) is rounded to 6dp and summed as DECIMAL(24,6) — exact
+    integer-scaled arithmetic, so the sum is order-independent and the
+    DuckDB twin (different partitioning, different order) lands on the
+    identical value; the final covariance combines the two exact sums
+    and rounds once more."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    terms = F.expr(
+        """
+        flatten(transform(v, (xi, i) ->
+            transform(slice(v, i + 1, size(v) - i), (xj, j2) ->
+                struct(i + 1 AS i, i + j2 + 1 AS j,
+                       CAST(round(xi * xj, 6) AS DECIMAL(24,6)) AS p))))
+        """
+    )
+    sij = (
+        emb.select(F.explode(terms).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s_ij"), F.count(F.lit(1)).alias("n"))
+    )
+    si = (
+        emb.select(F.posexplode("v").alias("i0", "x"))
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            F.round("x", 6).cast("decimal(24,6)").alias("xr"),
+        )
+        .groupBy("i")
+        .agg(F.sum("xr").alias("s"))
+    )
+    mi = F.broadcast(si.select(F.col("i").alias("mi_i"), F.col("s").alias("s_i")))
+    mj = F.broadcast(si.select(F.col("i").alias("mj_j"), F.col("s").alias("s_j")))
+    cov = (
+        F.col("s_ij").cast("double")
+        - F.col("s_i").cast("double") * F.col("s_j").cast("double") / F.col("n")
+    ) / F.col("n")
+    return (
+        sij.join(mi, F.col("i") == F.col("mi_i"))
+        .join(mj, F.col("j") == F.col("mj_j"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            # + 0.0 folds IEEE negative zero into +0.0 (DuckDB
+            # stringifies -0.0 distinctly, which would break the
+            # value-hash compare on near-zero covariances)
+            (F.round(cov, 6) + F.lit(0.0)).alias("cov_ij"),
+        )
+    )

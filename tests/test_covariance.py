@@ -1,0 +1,78 @@
+"""embed_covariance: numpy ground truth, planted-anisotropy PCA
+recovery, and the d²-accumulator plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from amazon_textract_enhancer_spark.operators import similarity as S
+from amazon_textract_enhancer_spark.plans import executed_plan
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _cov_matrix(rows, d):
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"] - 1, r["j"] - 1] = r["cov_ij"]
+        m[r["j"] - 1, r["i"] - 1] = r["cov_ij"]
+    return m
+
+
+def test_covariance_matches_numpy(spark):
+    rows = S.embed_covariance(spark, SF_DIR).collect()
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    d = emb.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    got = _cov_matrix(rows, d)
+    want = np.cov(emb, rowvar=False, bias=True)
+    # operator rounds each product to 6dp pre-sum and the result to
+    # 6dp — tolerance covers that quantization, nothing else
+    assert np.abs(got - want).max() < 5e-4
+
+
+def test_covariance_recovers_planted_principal_axis(spark, monkeypatch):
+    """Vectors = small isotropic noise + a strong component along a
+    planted direction; the top eigenvector of the operator's
+    covariance must align with the plant (|cos| > 0.99)."""
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    axis = rng.normal(size=d)
+    axis /= np.linalg.norm(axis)
+    data = rng.normal(scale=0.05, size=(n, d)) + np.outer(
+        rng.normal(scale=1.0, size=n), axis
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    monkeypatch.setattr(S, "t", lambda _s, _d, _n: df)
+    rows = S.embed_covariance(spark, SF_DIR).collect()
+    got = _cov_matrix(rows, d)
+    w, v = np.linalg.eigh(got)
+    top = v[:, np.argmax(w)]
+    assert abs(float(top @ axis)) > 0.99
+
+
+def test_covariance_shuffle_is_bounded_by_key_count(spark):
+    """The pair explosion aggregates map-side: the plan must show a
+    partial HashAggregate below the (i, j) exchange, so the shuffle
+    carries at most d(d+1)/2 rows per task — never the exploded
+    stream."""
+    plan = executed_plan(S.embed_covariance(spark, SF_DIR))
+    ij_exchange = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(i" in ln and "j#" in ln
+    ]
+    assert ij_exchange, plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
