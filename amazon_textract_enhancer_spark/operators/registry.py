@@ -202,6 +202,7 @@ SPARK_QUERIES = {
     "text_novelty_by_bucket": cur.text_novelty_by_bucket,
     "layout_zorder_key": scale.layout_zorder_key,
     "embed_covariance": similarity.embed_covariance,
+    "embed_random_projection": similarity.embed_random_projection,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2334,5 +2335,20 @@ ORACLE_SQL = {
                       - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) / n) / n,
                      6) + 0.0 AS cov_ij
         FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j
+    """,
+    # JL twin: same derived sign matrix (md5 first hex digit), same
+    # in-order fold (list_sum over the transformed list mirrors Spark's
+    # ordered aggregate) so the float result is IEEE-identical
+    "embed_random_projection": f"""
+        SELECT vec_id, CAST(k AS INT) AS k,
+               round(list_sum(list_transform(
+                         generate_series(1, len(embedding)),
+                         i -> CASE WHEN ('0x' || substr(md5(i || '_' || k),
+                                                        1, 1))::INT < 8
+                                   THEN CAST(embedding[i] AS DOUBLE)
+                                   ELSE -CAST(embedding[i] AS DOUBLE) END))
+                     / sqrt({similarity.JL_DIMS}), 6) + 0.0 AS y
+        FROM embeddings,
+             unnest(generate_series(1, {similarity.JL_DIMS})) AS tk(k)
     """,
 }

@@ -928,3 +928,51 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(cov, 6) + F.lit(0.0)).alias("cov_ij"),
         )
     )
+
+
+JL_DIMS = 8
+
+
+def embed_random_projection(
+    spark: SparkSession, sf_dir: str, *, r: int = JL_DIMS
+) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION (★) — the
+    dimensionality-reduction front end for ANN/sketching: project each
+    embedding onto ``r`` pseudo-random ±1 directions (Achlioptas 2001
+    sign matrix), scaled by 1/sqrt(r). Output long form
+    (vec_id, k, y) so the value hash pins every coordinate.
+
+    The sign matrix is DERIVED, not stored: sign(i, k) = +1 iff the
+    first hex digit of md5("i_k") < '8' — recomputable identically in
+    any engine and on any executor, which is what makes the plan
+    ZERO-SHUFFLE: each row folds its own d×r products in-row (ordered
+    aggregate, so float addition order is fixed and the DuckDB twin's
+    in-order list_sum lands on the identical IEEE value), then a
+    map-side posexplode emits the r coordinates. At 10^12 vectors this
+    is scan-shaped with no exchange at all; the d·r md5 evaluations
+    per row are the price of never materializing or broadcasting the
+    matrix (swap in a broadcast sign table if CPU ever beats
+    network — same output either way)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    proj = F.expr(
+        f"""
+        transform(sequence(1, {r}), k ->
+            round(
+                aggregate(
+                    zip_with(v, sequence(1, size(v)), (x, i) ->
+                        CASE WHEN conv(substring(md5(concat(
+                                 cast(i AS STRING), '_', cast(k AS STRING))),
+                                 1, 1), 16, 10) < 8
+                             THEN x ELSE -x END),
+                    CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)
+                / sqrt({r}), 6) + 0.0)
+        """
+    )
+    return (
+        emb.select("vec_id", F.posexplode(proj).alias("k0", "y"))
+        .select(
+            "vec_id", (F.col("k0") + 1).cast("int").alias("k"), "y"
+        )
+    )

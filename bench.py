@@ -227,7 +227,9 @@ def main() -> None:
                    "c5_search_snippets", "embed_norm_outliers",
                    "dedup_cdc_chunks", "range_join_binned",
                    "text_heavy_hitters", "c5_search_phrase",
-                   "x_contrastive_triplets")
+                   "x_contrastive_triplets", "decontaminate_bloom",
+                   "text_novelty_by_bucket", "layout_zorder_key",
+                   "embed_covariance", "embed_random_projection")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

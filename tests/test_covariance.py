@@ -76,3 +76,51 @@ def test_covariance_shuffle_is_bounded_by_key_count(spark):
     ]
     assert ij_exchange, plan
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+# -------------------------------------------------- random projection
+
+
+def test_random_projection_is_zero_exchange(spark):
+    """The sign matrix is derived per-row (md5), so the whole plan is
+    scan + project + posexplode — no Exchange of any kind."""
+    from amazon_textract_enhancer_spark.plans import n_exchanges
+
+    df = S.embed_random_projection(spark, SF_DIR)
+    assert n_exchanges(df) == 0, executed_plan(df)
+
+
+def test_random_projection_preserves_distances_in_aggregate(spark):
+    """JL sanity on the fixture corpus: projected squared distances
+    are unbiased — over many pairs the mean ratio to true squared
+    distances must sit near 1 (loose band: r=8 is a sketch, not an
+    isometry), and identical vectors must project identically."""
+    rows = S.embed_random_projection(spark, SF_DIR).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(60)
+        .collect()
+    }
+    proj = {}
+    for r in rows:
+        if r["vec_id"] in emb:
+            proj.setdefault(r["vec_id"], [0.0] * 8)[r["k"] - 1] = r["y"]
+    ids = sorted(proj)
+    ratios = []
+    for a in range(0, len(ids) - 1, 2):
+        u, v = ids[a], ids[a + 1]
+        true = float(np.sum((emb[u] - emb[v]) ** 2))
+        got = float(
+            np.sum((np.array(proj[u]) - np.array(proj[v])) ** 2)
+        )
+        if true > 0:
+            ratios.append(got / true)
+    assert 0.6 < float(np.mean(ratios)) < 1.4, np.mean(ratios)
+    # determinism: same input vector -> bitwise-same projection
+    again = {
+        (r["vec_id"], r["k"]): r["y"]
+        for r in S.embed_random_projection(spark, SF_DIR).collect()
+    }
+    for r in rows[:100]:
+        assert again[(r["vec_id"], r["k"])] == r["y"]
