@@ -230,6 +230,10 @@ class TableIO:
             "partition_by": partition_by,
             "range_col": range_col,
             "sort_within": sort_within,
+            # schema evolution survives recommits: entries only matter
+            # for files that physically lack the column, so carrying
+            # them forward is harmless once writes include it
+            "added_columns": (prev_manifest or {}).get("added_columns", []),
         }
         if extra:
             manifest.update(extra)
@@ -265,10 +269,14 @@ class TableIO:
         """Read the current snapshot, or — the Iceberg ``VERSION AS OF``
         analog — a retained superseded one by ``snapshot_seq``."""
         if as_of is None:
-            return spark.read.parquet(self.data_path(name))
+            return self._apply_evolution(
+                spark.read.parquet(self.data_path(name)), name
+            )
         m = self.read_manifest(name)
         if m is not None and m.get("snapshot_seq") == as_of:
-            return spark.read.parquet(self.data_path(name))
+            return self._apply_evolution(
+                spark.read.parquet(self.data_path(name)), name
+            )
         snap = self.snap_path(name, as_of)
         if not os.path.isdir(snap):
             known = [e["snapshot_seq"] for e in self.read_snaplog(name)]
@@ -277,7 +285,58 @@ class TableIO:
                 f"(log has {known}; retained dirs only go back "
                 f"{self.retain_snapshots})"
             )
-        return spark.read.parquet(snap)
+        return self._apply_evolution(spark.read.parquet(snap), name)
+
+    def _apply_evolution(self, df: DataFrame, name: str) -> DataFrame:
+        """Project the table's evolved schema onto ``df``: any column
+        recorded by ``evolve_add_column`` that the underlying files
+        lack is attached as its typed default — so old snapshots and
+        pre-evolution files read through the CURRENT schema (the
+        schema-on-read half of Iceberg's ADD COLUMN; time-travel reads
+        use the current schema too, documented choice)."""
+        m = self.read_manifest(name)
+        for e in (m or {}).get("added_columns", []):
+            if e["name"] not in df.columns:
+                df = df.withColumn(
+                    e["name"], F.lit(e["default"]).cast(e["type"])
+                )
+        return df
+
+    def evolve_add_column(
+        self, name: str, col: str, dtype: str, default=None
+    ) -> dict:
+        """Iceberg ``ALTER TABLE ... ADD COLUMN`` analog: METADATA-ONLY
+        — no data file is rewritten (at 10^12 rows a rewrite is the
+        difference between a metadata commit and a cluster-week).
+        Readers attach the typed default wherever files lack the
+        column; the next ``commit_stage`` that includes the column
+        writes it physically, and the evolution entry stays harmless.
+        Rejects duplicates and collisions with physical columns of the
+        current snapshot's schema only when an evolution entry already
+        covers the name (physical collisions are naturally no-ops at
+        read time, but a duplicate evolution is a caller bug)."""
+        m = self.read_manifest(name)
+        if m is None:
+            raise ValueError(f"table {name!r} has no committed manifest")
+        evo = m.get("added_columns", [])
+        if any(e["name"] == col for e in evo):
+            raise ValueError(
+                f"column {col!r} already added to table {name!r}"
+            )
+        evo = evo + [
+            {
+                "name": col,
+                "type": dtype,
+                "default": default,
+                "at_snapshot_seq": m.get("snapshot_seq"),
+            }
+        ]
+        m["added_columns"] = evo
+        tmp_manifest = self.manifest_path(name) + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(m, f, indent=2, sort_keys=True)
+        os.replace(tmp_manifest, self.manifest_path(name))
+        return m
 
     def fast_count(self, name: str) -> int:
         """Metadata-only row count — the Iceberg "count(*) answered

@@ -164,3 +164,56 @@ def test_rebucket_refuses_non_hash_layouts(spark, tmp_path):
         io.rebucket(spark, "r", 4)
     with pytest.raises(ValueError, match="no committed manifest"):
         io.rebucket(spark, "absent", 4)
+
+
+# ------------------------------------------------------ schema evolution
+
+
+def test_evolve_add_column_is_metadata_only(spark, tmp_path):
+    """ADD COLUMN rewrites no data file; readers see the typed default
+    everywhere the files lack the column."""
+    io = TableIO(str(tmp_path / "wh"))
+    _commit(io, spark, "t", [1, 2], "s1")
+    data_dir = io.data_path("t")
+    before = {
+        f: os.path.getmtime(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir)
+    }
+    io.evolve_add_column("t", "quality", "double", default=0.5)
+    after = {
+        f: os.path.getmtime(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir)
+    }
+    assert before == after  # zero data files touched
+    got = io.read_table(spark, "t")
+    assert got.schema["quality"].dataType.typeName() == "double"
+    assert sorted((r["v"], r["quality"]) for r in got.collect()) == [
+        (1, 0.5),
+        (2, 0.5),
+    ]
+    # metadata ops still metadata-only
+    assert io.fast_count("t") == 2
+
+
+def test_evolved_column_survives_recommit_and_time_travel(spark, tmp_path):
+    """A later physical write of the column wins over the default; the
+    evolution entry carries forward so retained OLD snapshots (which
+    physically lack the column) still read through the current schema;
+    duplicate evolution is rejected."""
+    import pytest as _pytest
+
+    io = TableIO(str(tmp_path / "wh"), retain_snapshots=2)
+    _commit(io, spark, "t", [1, 2], "s1")
+    io.evolve_add_column("t", "quality", "double", default=0.5)
+    df2 = spark.createDataFrame([(3, 0.9), (4, 0.1)], "v int, quality double")
+    io.commit_stage(df2, "t", input_snapshot="s2")
+    # current snapshot: physical values, not the default
+    cur = sorted((r["v"], r["quality"]) for r in
+                 io.read_table(spark, "t").collect())
+    assert cur == [(3, 0.9), (4, 0.1)]
+    # time travel to the pre-evolution snapshot: default projected in
+    old = sorted((r["v"], r["quality"]) for r in
+                 io.read_table(spark, "t", as_of=1).collect())
+    assert old == [(1, 0.5), (2, 0.5)]
+    with _pytest.raises(ValueError, match="already added"):
+        io.evolve_add_column("t", "quality", "double", default=0.0)
