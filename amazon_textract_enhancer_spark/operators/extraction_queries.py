@@ -715,3 +715,31 @@ def x_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neg_text").alias("negative"),
         "neg_conv",
     )
+
+
+def x_tool_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent WORKFLOW MINING (★): the tool-transition bigram census —
+    for each conversation's tool-role turns in turn order, count
+    (tool_from -> tool_to) transitions and how many conversations
+    exhibit each. The ES/agent-analytics question "which tools chain
+    into which" answered as one window + one tiny agg.
+
+    Plan shape: the lead() window partitions by conv_id — co-located
+    for free on the conv_id-bucketed committed table (F1), so at 10^12
+    turns the window is a within-partition sort, and the transition agg
+    is a handful of (tool, tool) keys with map-side partials."""
+    from pyspark.sql import Window
+
+    tdf = fixture_transcripts(spark, sf_dir).filter(
+        F.col("tool").isNotNull()
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = tdf.select(
+        "conv_id",
+        F.col("tool").alias("tool_from"),
+        F.lead("tool").over(w).alias("tool_to"),
+    ).filter(F.col("tool_to").isNotNull())
+    return pairs.groupBy("tool_from", "tool_to").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

@@ -203,6 +203,7 @@ SPARK_QUERIES = {
     "layout_zorder_key": scale.layout_zorder_key,
     "embed_covariance": similarity.embed_covariance,
     "embed_random_projection": similarity.embed_random_projection,
+    "x_tool_call_graph": xq.x_tool_call_graph,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2350,5 +2351,19 @@ ORACLE_SQL = {
                      / sqrt({similarity.JL_DIMS}), 6) + 0.0 AS y
         FROM embeddings,
              unnest(generate_series(1, {similarity.JL_DIMS})) AS tk(k)
+    """,
+    "x_tool_call_graph": f"""
+        WITH tools AS (
+            SELECT conv_id, turn_idx, tool,
+                   lead(tool) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS tool_to
+            FROM read_parquet('{_XTRANS}')
+            WHERE tool IS NOT NULL
+        )
+        SELECT tool AS tool_from, tool_to,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM tools WHERE tool_to IS NOT NULL
+        GROUP BY 1, 2
     """,
 }

@@ -475,3 +475,99 @@ def compact_stream_landing(
         _json.dump(manifest, f, indent=2, sort_keys=True)
     os.replace(tmp, io.manifest_path(name))
     return manifest
+
+
+def index_dedup_batch(
+    spark: SparkSession,
+    io: TableIO,
+    output_dir: str,
+    index_name: str = "stream_fp_index",
+):
+    """The foreachBatch body of ``stream_dedup_against_index`` as a
+    testable closure: (batch_df, epoch_id) -> None.
+
+    Replay safety (the crash between sink write and checkpoint): the
+    index rows carry the epoch that added them, and a batch's
+    "existing" view is ``epoch < current`` — so a REPLAYED epoch sees
+    exactly the pre-epoch index (its own fps excluded), recomputes the
+    identical survivor set, overwrites the same ``epoch=<id>`` output
+    dir, and the index recommit is a manifest no-op (same
+    (input_snapshot, config_hash)). Nothing double-drops, nothing
+    double-emits."""
+    from ..schemas import TRANSCRIPT_SCHEMA  # noqa: F401  (schema doc)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        fp = batch_df.withColumn(
+            "fp", F.md5(F.lower(F.coalesce("text", F.lit(""))))
+        )
+        w = Window.partitionBy("fp").orderBy("conv_id", "turn_idx")
+        firsts = (
+            fp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if io.read_manifest(index_name) is None:
+            existing = spark.createDataFrame([], "fp string, epoch long")
+        else:
+            existing = io.read_table(spark, index_name)
+        prior = existing.filter(F.col("epoch") < epoch_id).select("fp")
+        survivors = firsts.join(prior, "fp", "left_anti")
+        (
+            survivors.drop("fp")
+            .write.mode("overwrite")
+            .parquet(os.path.join(output_dir, f"epoch={epoch_id}"))
+        )
+        new_rows = survivors.select(
+            "fp", F.lit(epoch_id).cast("long").alias("epoch")
+        )
+        io.commit_stage(
+            existing.filter(F.col("epoch") < epoch_id).unionByName(new_rows),
+            index_name,
+            input_snapshot=f"epoch-{epoch_id}",
+            config_hash="fp-index-v1",
+        )
+
+    return _batch
+
+
+def stream_dedup_against_index(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    io: TableIO,
+    index_name: str = "stream_fp_index",
+) -> None:
+    """Streaming dedup with state in a COMMITTED INDEX TABLE instead
+    of the state store — the production shape once the dup horizon
+    outgrows executor state: ``stream_dedup_exact`` bounds its state
+    store by the watermark (old fingerprints expire and CAN re-enter);
+    this operator keeps the full fingerprint history in a TableIO
+    table (at 10^12 turns: an Iceberg table bucketed by fp), so a
+    duplicate is dropped no matter how old its first occurrence is,
+    and the "state" scales like any other table — compactable,
+    snapshot-logged, time-travelable — rather than like checkpoint
+    state.
+
+    Each micro-batch: in-batch winners per fp (deterministic
+    row_number tie-break) → anti-join against the pre-epoch index →
+    survivors land in an epoch-keyed output dir (overwrite =
+    idempotent replay) → index recommitted with the epoch tag (replay
+    = manifest no-op). See ``index_dedup_batch`` for the replay proof
+    obligations; the test kills and replays the epoch both before and
+    after the index commit."""
+    from ..schemas import TRANSCRIPT_SCHEMA
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            index_dedup_batch(spark, io, output_dir, index_name)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
