@@ -984,3 +984,64 @@ def mm_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInArrow(fn, ADPCM_STATS_SCHEMA)
+
+
+AUDIO_DS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_rate", IntegerType(), False),
+        StructField("n_out", IntegerType(), False),
+        StructField("rms_ds", DoubleType(), False),
+    ]
+)
+
+
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """★ REAL audio RESAMPLING over decoded PCM: decode the WAV bytes,
+    then 2:1 pair-average decimation — y[j] = floor((s[2j] + s[2j+1])
+    / 2), the simplest anti-aliased downsample kernel — and report the
+    decimated stream's rate, length and RMS. The DuckDB twin replays
+    the sample formula AND the kernel closed-form, so a pairing-offset
+    or truncation bug in the resampler fails the value hash (the
+    decode itself is already pinned by mm_audio_stats; this pins the
+    DSP step on top).
+
+    Same zero-shuffle codec-chain shape as every mm_* operator: encode
+    stage → binary column → decode+resample in ONE mapInArrow hop; at
+    10^12 clips this is scan-shaped with Arrow-batched Python."""
+    import math
+
+    import pyarrow as pa
+
+    payloads = synth_wav_payloads(t(spark, sf_dir, "documents"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            blobs = rb.column(1).to_pylist()
+            rates, ns, rmss = [], [], []
+            for blob in blobs:
+                sr, ch, samples = decode_audio_samples(blob)
+                mono = samples[::ch]  # fixture is mono; explicit anyway
+                y = [
+                    (mono[2 * j] + mono[2 * j + 1]) // 2
+                    for j in range(len(mono) // 2)
+                ]
+                rates.append(sr // 2)
+                ns.append(len(y))
+                rmss.append(
+                    round(math.sqrt(sum(v * v for v in y) / len(y)), 4)
+                    if y
+                    else 0.0
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(rates, pa.int32()),
+                    pa.array(ns, pa.int32()),
+                    pa.array(rmss, pa.float64()),
+                ],
+                names=[f.name for f in AUDIO_DS_SCHEMA.fields],
+            )
+
+    return payloads.mapInArrow(fn, AUDIO_DS_SCHEMA)

@@ -204,6 +204,8 @@ SPARK_QUERIES = {
     "embed_covariance": similarity.embed_covariance,
     "embed_random_projection": similarity.embed_random_projection,
     "x_tool_call_graph": xq.x_tool_call_graph,
+    "mm_audio_downsample": multimodal.mm_audio_downsample,
+    "c5_search_fuzzy": serving.c5_search_fuzzy,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2365,5 +2367,54 @@ ORACLE_SQL = {
                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
         FROM tools WHERE tool_to IS NOT NULL
         GROUP BY 1, 2
+    """,
+    # downsample twin: sample formula + the SAME pair-average kernel in
+    # closed form; floor() (not //) because Python's // floors toward
+    # -inf while DuckDB's integer division truncates toward zero
+    "mm_audio_downsample": """
+        WITH p AS (
+            SELECT doc_id,
+                   doc_id % 50 + 10 AS n,
+                   8000 + (doc_id % 3) * 4000 AS sr
+            FROM documents
+        ), y AS (
+            SELECT doc_id,
+                   CAST(sr // 2 AS INT) AS out_rate,
+                   CAST(n // 2 AS INT) AS n_out,
+                   list_transform(generate_series(0, n // 2 - 1),
+                       j -> CAST(floor((
+                              ((doc_id * 7 + (2 * j) * 13) % 4096) - 2048
+                            + ((doc_id * 7 + (2 * j + 1) * 13) % 4096) - 2048
+                            ) / 2.0) AS BIGINT)) AS ys
+            FROM p
+        )
+        SELECT doc_id, out_rate, n_out,
+               round(sqrt(list_sum(list_transform(ys, v -> v * v)) * 1.0
+                          / n_out), 4) AS rms_ds
+        FROM y
+    """,
+    # fuzzy twin: identical symmetric-delete neighborhood + levenshtein
+    # verify; the query's variants are the same plan-time literals
+    "c5_search_fuzzy": f"""
+        WITH vocab AS (
+            SELECT term, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, unnest(
+                    list_filter({_TOK}, x -> x <> '')) AS term
+                FROM documents)
+            GROUP BY 1
+        ), expanded AS (
+            SELECT term, df, unnest(list_distinct(
+                       [term] || list_transform(
+                           generate_series(1, length(term)),
+                           i -> substr(term, 1, i - 1)
+                                || substr(term, i + 1, length(term) - i))))
+                   AS variant
+            FROM vocab
+        )
+        SELECT DISTINCT term, CAST(df AS BIGINT) AS df,
+               CAST(levenshtein(term, 'vectr') AS INT) AS dist
+        FROM expanded
+        WHERE variant IN ('vectr', 'ectr', 'vctr', 'vetr', 'vecr', 'vect') AND levenshtein(term, 'vectr') <= 1
+        ORDER BY df DESC, term ASC LIMIT 10
     """,
 }

@@ -455,3 +455,64 @@ def c5_search_snippets(spark: SparkSession, sf_dir: str,
         )
         .filter(F.col("first_pos") > 0)
     )
+
+
+FUZZY_QUERY = "vectr"  # an edit-distance-1 typo of the corpus term "vector"
+
+
+def _deletion_variants(word: str) -> list[str]:
+    """SymSpell deletion neighborhood: the word plus every
+    single-character deletion (order-stable, deduped)."""
+    out = [word]
+    for i in range(len(word)):
+        v = word[:i] + word[i + 1:]
+        if v not in out:
+            out.append(v)
+    return out
+
+
+def c5_search_fuzzy(
+    spark: SparkSession, sf_dir: str, *, query: str = FUZZY_QUERY
+) -> DataFrame:
+    """C5 tier (vi) — FUZZY term search (ES ``fuzziness: 1`` analog)
+    via the SymSpell symmetric-delete scheme: two terms are candidates
+    iff their deletion neighborhoods ({word} ∪ single-deletions)
+    intersect, which covers every edit-distance-1 pair
+    (substitute/delete/insert) with a bounded L+1 fan-out — then
+    levenshtein() verifies (the neighborhood admits a few ed-2 pairs).
+
+    Plan shape for 10^12 docs: the fan-out runs over the DISTINCT
+    VOCABULARY (one df agg first — at corpus scale the committed terms
+    index), not over corpus rows; the query's own neighborhood is a
+    handful of plan-time literals, so candidate selection is an
+    ``isin`` FILTER pushed at the vocabulary scan — no join, no
+    shuffle beyond the df agg. Top-k by document frequency is a
+    TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        tokenize(docs, "text", ["doc_id"])
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qvars = _deletion_variants(query.lower())
+    expanded = vocab.select(
+        "term",
+        "df",
+        F.explode(
+            F.expr(
+                "array_union(array(term), transform(sequence(1, length(term)),"
+                " i -> concat(substring(term, 1, i - 1),"
+                " substring(term, i + 1, length(term) - i))))"
+            )
+        ).alias("variant"),
+    )
+    return (
+        expanded.filter(F.col("variant").isin(qvars))
+        .select("term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(query.lower())))
+        .filter(F.col("dist") <= 1)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+    )

@@ -229,7 +229,9 @@ def main() -> None:
                    "text_heavy_hitters", "c5_search_phrase",
                    "x_contrastive_triplets", "decontaminate_bloom",
                    "text_novelty_by_bucket", "layout_zorder_key",
-                   "embed_covariance", "embed_random_projection")
+                   "embed_covariance", "embed_random_projection",
+                   "x_tool_call_graph", "mm_audio_downsample",
+                   "c5_search_fuzzy")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

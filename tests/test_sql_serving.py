@@ -209,3 +209,42 @@ def test_phrase_search_overlap_and_chain_semantics(spark):
         (r["doc_id"], r["n_occurrences"])
         for r in phrase_search(docs, ("table", "hash", "join")).collect()
     } == {(6, 1)}
+
+
+def test_fuzzy_search_edit_distance_semantics(spark, monkeypatch):
+    """SymSpell neighborhood + levenshtein verify: every ed-1 form of
+    the query matches (substitution, deletion, insertion, and the
+    exact term); ed-2 words never do, even when the delete
+    neighborhoods overlap (the 'ab'/'ba' class)."""
+    from amazon_textract_enhancer_spark.operators import serving as S
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector"),   # insertion: vectr -> vector (ed 1)
+            (2, "vectr"),    # exact (ed 0)
+            (3, "vetr"),     # deletion: vectr -> vetr (ed 1)
+            (4, "vectz"),    # substitution: vectr -> vectz (ed 1)
+            (5, "victor"),   # ed 2 — must NOT match
+            (6, "tcevr"),    # anagram, ed > 1 — must NOT match
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(S, "t", lambda _s, _d, _n: docs)
+    got = {
+        (r["term"], r["dist"])
+        for r in S.c5_search_fuzzy(spark, "ignored").collect()
+    }
+    assert got == {("vector", 1), ("vectr", 0), ("vetr", 1), ("vectz", 1)}
+
+
+def test_fuzzy_search_candidate_selection_is_a_pushed_filter(spark):
+    """No join for candidate selection: the query neighborhood is
+    plan-time literals, so the plan contains an isin filter and only
+    the vocabulary df aggregation exchanges."""
+    from amazon_textract_enhancer_spark.operators import serving as S
+    from amazon_textract_enhancer_spark.plans import executed_plan
+
+    plan = executed_plan(S.c5_search_fuzzy(spark, "/root/testdata/sf0.01"))
+    assert "TakeOrderedAndProject" in plan, plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert not joins, joins
