@@ -206,6 +206,7 @@ SPARK_QUERIES = {
     "x_tool_call_graph": xq.x_tool_call_graph,
     "mm_audio_downsample": multimodal.mm_audio_downsample,
     "c5_search_fuzzy": serving.c5_search_fuzzy,
+    "sketch_percentile_approx": rel.sketch_percentile_approx,  # ✂
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"

@@ -469,3 +469,26 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_events"),
         F.round(F.sum("value"), 2).alias("window_value"),
     )
+
+
+def sketch_percentile_approx(
+    spark: SparkSession, sf_dir: str, *, accuracy: int = 1000
+) -> DataFrame:
+    """✂ Mergeable QUANTILE SKETCH per group — `approx_percentile`
+    (Greenwald-Khanna): the rank-error-bounded summary that, unlike
+    the exact form, aggregates in one pass with O(accuracy) state per
+    group and MERGES across partitions — at 10^12 events the exact
+    percentile needs a per-group sort while the sketch is a normal
+    partial/final agg. Rows-only in the driver (sketch internals are
+    engine-specific — same reason as approx_count_distinct);
+    test_relational_nodes pins the 1/accuracy rank-error bound against
+    the exact percentiles and cross-run determinism."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias(
+            "median_approx"
+        ),
+        F.percentile_approx("value", F.lit(0.95), F.lit(accuracy)).alias(
+            "p95_approx"
+        ),
+    )

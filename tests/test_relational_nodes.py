@@ -61,3 +61,40 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert abs(v - exact[k]) < 1e-9
+
+
+def test_percentile_sketch_within_rank_error_of_exact(spark):
+    """approx_percentile's contract is a RANK error bound: the sketch
+    value's rank in the group differs from the target rank by at most
+    n/accuracy. Verify the bound per group against the exact sorted
+    values — far stronger than a loose value tolerance."""
+    from amazon_textract_enhancer_spark.operators.relational import (
+        sketch_percentile_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r
+        for r in sketch_percentile_approx(spark, sf).collect()
+    }
+    vals = {}
+    for r in spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(approx) == set(vals)
+    for et, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        # accuracy=1000 -> rank error ~ n/1000; allow 2x plus a floor
+        # of 3 for rank-convention off-by-ones at small n
+        tol = max(3.0, 2 * n / 1000)
+        for col, q in (("median_approx", 0.5), ("p95_approx", 0.95)):
+            got = approx[et][col]
+            import bisect
+
+            lo = bisect.bisect_left(xs, got)
+            hi = bisect.bisect_right(xs, got) - 1
+            target = q * (n - 1)
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= tol, (et, col, got, err, tol)
