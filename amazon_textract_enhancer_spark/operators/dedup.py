@@ -972,3 +972,89 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def _md5_hash60(col, seed) -> "F.Column":
+    """Engine-portable 60-bit hash: the first 15 hex digits of
+    md5('<seed>|' || value) as a BIGINT — identical in Spark
+    (conv/substring) and DuckDB ('0x' || substr cast), unlike
+    xxhash64, which only Spark implements."""
+    tagged = F.concat(F.lit(f"{seed}|"), col)
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+
+
+def dedup_minhash_portable(
+    spark: SparkSession, sf_dir: str, *, bucket_cap: int = BAND_BUCKET_CAP
+) -> DataFrame:
+    """MinHash + LSH with ENGINE-PORTABLE hashing (★) — the same
+    pipeline as ``dedup_minhash_lsh`` (one-pass profile agg, 4x4
+    banding, hot-bucket cap, exact set-intersection verify) but every
+    hash is ``_md5_hash60``, so the DuckDB twin replays the ENTIRE
+    chain — signature minima, band buckets, candidate pairs, verify —
+    and the driver value-hash pins it end to end. ``dedup_minhash_lsh``
+    stays the production fast path (xxhash64 is ~10x cheaper per
+    shingle; its banding behavior is pinned rows-only + by the recall
+    test); this operator is the correctness witness that the LSH
+    machinery itself — not just its inputs — computes what the
+    definition says. Band bucket = the concatenated 4 minima (a
+    string key; at 10^12 docs the fast path's 64-bit rehash is the
+    right key — documented difference)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    rows_per_band = N_MINHASH // N_BANDS
+    prof = sh.groupBy("doc_id").agg(
+        *[F.min(_md5_hash60(F.col("shingle"), s)).alias(f"h{s}")
+          for s in range(N_MINHASH)],
+        F.sort_array(F.collect_set(_md5_hash60(F.col("shingle"), "u")))
+        .alias("hs"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    bands = []
+    for band in range(N_BANDS):
+        cols = [F.col(f"h{band * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        bands.append(
+            prof.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws("_", *cols).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "bucket")
+    )
+    kept = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = prof.select(F.col("doc_id").alias("doc_a"),
+                     F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
+    pb = prof.select(F.col("doc_id").alias("doc_b"),
+                     F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
+    i = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        candidates.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(i / (F.col("sz_a") + F.col("sz_b") - i), 4)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

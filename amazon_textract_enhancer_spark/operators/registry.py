@@ -207,6 +207,7 @@ SPARK_QUERIES = {
     "mm_audio_downsample": multimodal.mm_audio_downsample,
     "c5_search_fuzzy": serving.c5_search_fuzzy,
     "sketch_percentile_approx": rel.sketch_percentile_approx,  # ✂
+    "dedup_minhash_portable": dedup.dedup_minhash_portable,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2417,5 +2418,60 @@ ORACLE_SQL = {
         FROM expanded
         WHERE variant IN ('vectr', 'ectr', 'vctr', 'vetr', 'vecr', 'vect') AND levenshtein(term, 'vectr') <= 1
         ORDER BY df DESC, term ASC LIMIT 10
+    """,
+    # the ENTIRE MinHash->band->bucket-join->verify chain replayed:
+    # portable md5-60bit hashing makes every intermediate (signature
+    # minima, band buckets, candidates, verify) engine-identical
+    "dedup_minhash_portable": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOK} AS L FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(L) >= 3
+                          THEN list_transform(generate_series(1, len(L) - 2),
+                                i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
+                          ELSE [] END) AS shingle
+            FROM toks
+        ), mins AS (
+            SELECT doc_id, s,
+                   min(('0x' || substr(md5(CAST(s AS VARCHAR) || '|'
+                                           || shingle), 1, 15))::BIGINT) AS h
+            FROM sh, unnest(generate_series(0, 15)) AS t(s)
+            GROUP BY 1, 2
+        ), sig AS (
+            SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY s) AS hv
+            FROM mins GROUP BY 1
+        ), banded AS (
+            SELECT doc_id, b,
+                   hv[4*b+1] || '_' || hv[4*b+2] || '_'
+                   || hv[4*b+3] || '_' || hv[4*b+4] AS bucket
+            FROM sig, unnest([0, 1, 2, 3]) AS tb(b)
+        ), hot AS (
+            SELECT b, bucket FROM banded GROUP BY 1, 2
+            HAVING count(*) > {dedup.BAND_BUCKET_CAP}
+        ), kept AS (
+            SELECT banded.* FROM banded ANTI JOIN hot USING (b, bucket)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+            FROM kept a JOIN kept bb
+              ON a.b = bb.b AND a.bucket = bb.bucket
+             AND a.doc_id < bb.doc_id
+        ), prof AS (
+            SELECT doc_id,
+                   list(DISTINCT ('0x' || substr(md5('u|' || shingle),
+                                                 1, 15))::BIGINT) AS hs,
+                   count(*) AS sz
+            FROM sh GROUP BY 1
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(pa.hs, pb.hs)) * 1.0
+                     / (pa.sz + pb.sz - len(list_intersect(pa.hs, pb.hs))),
+                     4) AS jaccard
+        FROM cand
+        JOIN prof pa ON pa.doc_id = doc_a
+        JOIN prof pb ON pb.doc_id = doc_b
+        WHERE round(len(list_intersect(pa.hs, pb.hs)) * 1.0
+                    / (pa.sz + pb.sz - len(list_intersect(pa.hs, pb.hs))),
+                    4) >= {dedup.JACCARD_THRESHOLD}
     """,
 }

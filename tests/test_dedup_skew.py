@@ -156,3 +156,29 @@ def test_incremental_dedup_verdicts(spark):
         assert r["matched_id"] not in new_ids  # matched an EXISTING doc
     for r in by_verdict["unique"]:
         assert r["matched_id"] is None and r["jaccard"] is None
+
+
+def test_minhash_portable_sound_and_high_recall_vs_exact(spark):
+    """The portable (md5-hash) MinHash chain: every emitted pair is a
+    TRUE >= 0.8 Jaccard pair (the verify is exact, so zero false
+    positives regardless of banding luck), and recall vs the exact
+    n-gram operator clears the banding expectation (P(candidate) ~ 0.86
+    at j=0.8 and ~1 at the fixture's planted j>=0.9)."""
+    from amazon_textract_enhancer_spark.operators.dedup import (
+        dedup_minhash_portable,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_portable(spark, sf).collect()
+    }
+    assert set(got) <= set(exact)          # sound: exact-verified
+    for k, j in got.items():
+        assert j == exact[k]               # same Jaccard values
+    assert len(got) >= 0.8 * len(exact), (len(got), len(exact))
