@@ -1058,3 +1058,103 @@ def dedup_minhash_portable(
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# portable-simhash geometry: 60 bits (15 md5 hex digits — the widest
+# width whose unsigned value still fits a signed 64-bit in BOTH
+# engines), 6 blocks x 10 bits, probe C(6,3) = 20 combinations ->
+# pigeonhole-exact for hamming <= 3
+PSIM_BITS = 60
+PSIM_BLOCKS = 6
+PSIM_BLOCK_BITS = PSIM_BITS // PSIM_BLOCKS
+PSIM_PROBE = 3
+PSIM_HAMMING_MAX = 3
+
+
+def dedup_simhash_portable(
+    spark: SparkSession, sf_dir: str, *, bucket_cap: int = BAND_BUCKET_CAP
+) -> DataFrame:
+    """SimHash near-dup PAIRS with ENGINE-PORTABLE hashing (★) — the
+    md5-60bit sibling of ``dedup_minhash_portable``: fingerprint
+    (bitwise majority over ALL token occurrences, ties -> 0), Manku
+    block-combination banding, hot-bucket cap, exact hamming verify
+    (<= PSIM_HAMMING_MAX) — every stage replayed verbatim by the
+    DuckDB twin, so the driver value-hash pins majority votes, block
+    keys, candidate generation and the hamming verify. The 64-bit
+    xxhash64 form (``dedup_simhash``/``dedup_simhash_pairs``) stays
+    the production fast path; 60-vs-64 bits costs ~6% fingerprint
+    resolution and nothing structural."""
+    from itertools import combinations
+
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), TOKEN_PATTERN)).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", _md5_hash60(F.col("tok"), "t").alias("h"))
+    )
+    sums_sql = ", ".join(
+        f"sum(shiftrightunsigned(h, {b}) & 1L)" for b in range(PSIM_BITS)
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.expr(f"array({sums_sql})").alias("bs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fp_expr = F.expr(
+        f"aggregate(zip_with(bs, sequence(0, {PSIM_BITS - 1}), "
+        "(s, b) -> if(2 * s > n, shiftleft(1L, b), 0L)), "
+        "0L, (acc, x) -> acc | x)"
+    )
+    fp = agg.select("doc_id", fp_expr.alias("fp"))
+
+    mask = F.lit((1 << PSIM_BLOCK_BITS) - 1).cast("long")
+    radix = 1 << PSIM_BLOCK_BITS
+    blocks = F.array(*[
+        F.shiftrightunsigned("fp", i * PSIM_BLOCK_BITS).bitwiseAND(mask)
+        for i in range(PSIM_BLOCKS)
+    ])
+    combos = list(combinations(range(PSIM_BLOCKS), PSIM_PROBE))
+    keyed = fp.select("doc_id", "fp", blocks.alias("blk"))
+    bands = []
+    for band, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for b in combo:
+            key = key * radix + F.element_at(F.col("blk"), b + 1)
+        bands.append(
+            keyed.select(
+                "doc_id", "fp",
+                F.lit(band).alias("band"), key.alias("bucket"),
+            )
+        )
+    banded = reduce(lambda x, y: x.unionByName(y), bands).localCheckpoint(
+        eager=True
+    )
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "bucket")
+    )
+    kept = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PSIM_HAMMING_MAX)
+        .distinct()
+    )

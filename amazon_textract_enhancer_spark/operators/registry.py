@@ -208,6 +208,7 @@ SPARK_QUERIES = {
     "c5_search_fuzzy": serving.c5_search_fuzzy,
     "sketch_percentile_approx": rel.sketch_percentile_approx,  # ✂
     "dedup_minhash_portable": dedup.dedup_minhash_portable,
+    "dedup_simhash_portable": dedup.dedup_simhash_portable,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2473,5 +2474,45 @@ ORACLE_SQL = {
         WHERE round(len(list_intersect(pa.hs, pb.hs)) * 1.0
                     / (pa.sz + pb.sz - len(list_intersect(pa.hs, pb.hs))),
                     4) >= {dedup.JACCARD_THRESHOLD}
+    """,
+    # portable-simhash twin: majority votes, Manku block keys and the
+    # hamming verify all recomputed from the same md5-60bit token
+    # hashes; combos literal generated from the same itertools order
+    "dedup_simhash_portable": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter({_TOK}, x -> x <> '')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('t|' || tok), 1, 15))::BIGINT AS h
+            FROM toks
+        ), bits AS (
+            SELECT doc_id, b, sum((h >> b) & 1) AS ones, count(*) AS n
+            FROM h, unnest(generate_series(0, 59)) AS t(b)
+            GROUP BY 1, 2
+        ), fp AS (
+            SELECT doc_id,
+                   sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << b)
+                            ELSE 0 END) AS fp
+            FROM bits GROUP BY 1
+        ), combos(band, combo) AS (VALUES (0, [0, 1, 2]), (1, [0, 1, 3]), (2, [0, 1, 4]), (3, [0, 1, 5]), (4, [0, 2, 3]), (5, [0, 2, 4]), (6, [0, 2, 5]), (7, [0, 3, 4]), (8, [0, 3, 5]), (9, [0, 4, 5]), (10, [1, 2, 3]), (11, [1, 2, 4]), (12, [1, 2, 5]), (13, [1, 3, 4]), (14, [1, 3, 5]), (15, [1, 4, 5]), (16, [2, 3, 4]), (17, [2, 3, 5]), (18, [2, 4, 5]), (19, [3, 4, 5])
+        ), banded AS (
+            SELECT doc_id, fp.fp, band,
+                   ((fp.fp >> (combo[1] * 10)) & 1023) * 1024 * 1024
+                   + ((fp.fp >> (combo[2] * 10)) & 1023) * 1024
+                   + ((fp.fp >> (combo[3] * 10)) & 1023) AS bucket
+            FROM fp, combos
+        ), hot AS (
+            SELECT band, bucket FROM banded GROUP BY 1, 2
+            HAVING count(*) > {dedup.BAND_BUCKET_CAP}
+        ), kept AS (
+            SELECT banded.* FROM banded ANTI JOIN hot USING (band, bucket)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {dedup.PSIM_HAMMING_MAX}
     """,
 }

@@ -182,3 +182,63 @@ def test_minhash_portable_sound_and_high_recall_vs_exact(spark):
     for k, j in got.items():
         assert j == exact[k]               # same Jaccard values
     assert len(got) >= 0.8 * len(exact), (len(got), len(exact))
+
+
+def test_simhash_portable_banding_is_pigeonhole_complete(spark):
+    """The Manku guarantee under test: C(6,3) block-combination probing
+    finds EVERY pair at hamming <= 3 (two 60-bit prints differing in
+    <= 3 bits agree on >= 3 of 6 blocks, so some probed combination
+    collides) — verified against a banding-free brute-force self-join
+    of the same fingerprints. (High-Jaccard does NOT imply low hamming
+    on short docs — simhash majorities are noisy at ~50 tokens — so
+    completeness, not Jaccard recall, is the honest contract.)"""
+    import pyspark.sql.functions as F
+
+    from amazon_textract_enhancer_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.dedup_simhash_portable(spark, sf).collect()
+    }
+    # brute force: same md5-60bit fingerprints, NO banding
+    docs = D.t(spark, sf, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), D.TOKEN_PATTERN)
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", D._md5_hash60(F.col("tok"), "t").alias("h"))
+    )
+    sums_sql = ", ".join(
+        f"sum(shiftrightunsigned(h, {b}) & 1L)" for b in range(D.PSIM_BITS)
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.expr(f"array({sums_sql})").alias("bs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fp_expr = F.expr(
+        f"aggregate(zip_with(bs, sequence(0, {D.PSIM_BITS - 1}), "
+        "(s, b) -> if(2 * s > n, shiftleft(1L, b), 0L)), "
+        "0L, (acc, x) -> acc | x)"
+    )
+    fp = agg.select("doc_id", fp_expr.alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= D.PSIM_HAMMING_MAX)
+        .collect()
+    }
+    assert brute, "fixture should contain hamming <= 3 pairs"
+    assert got == brute
