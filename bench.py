@@ -231,7 +231,8 @@ def main() -> None:
                    "text_novelty_by_bucket", "layout_zorder_key",
                    "embed_covariance", "embed_random_projection",
                    "x_tool_call_graph", "mm_audio_downsample",
-                   "c5_search_fuzzy")
+                   "c5_search_fuzzy", "sketch_percentile_approx",
+                   "dedup_minhash_portable", "dedup_simhash_portable")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})
