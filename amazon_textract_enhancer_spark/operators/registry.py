@@ -100,11 +100,11 @@ SPARK_QUERIES = {
     # -- training-data pipeline: similarity search
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "ann_pairs_threshold": similarity.ann_pairs_threshold,
-    "embed_norm_by_label": similarity.embed_norm_by_label,
+    "dedup_minhash_portable": dedup.dedup_minhash_portable,
     # -- training-data pipeline: text analysis + multimodal
     "text_lang_id": textstats.text_lang_id,
     "text_quality_score": textstats.text_quality_score,
-    "text_token_count_stats": textstats.text_token_count_stats,
+    "dedup_simhash_portable": dedup.dedup_simhash_portable,
     "text_quality_lr": cur.text_quality_lr,
     # r4 rotation: BM25 (this round's serving tier) takes the BPE-
     # estimate slot, and the two REAL r4 codecs (color JPEG, ADPCM —
@@ -207,8 +207,8 @@ SPARK_QUERIES = {
     "mm_audio_downsample": multimodal.mm_audio_downsample,
     "c5_search_fuzzy": serving.c5_search_fuzzy,
     "sketch_percentile_approx": rel.sketch_percentile_approx,  # ✂
-    "dedup_minhash_portable": dedup.dedup_minhash_portable,
-    "dedup_simhash_portable": dedup.dedup_simhash_portable,
+    "embed_norm_by_label": similarity.embed_norm_by_label,
+    "text_token_count_stats": textstats.text_token_count_stats,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"

@@ -126,7 +126,12 @@ def test_driver_evidence_window_is_pinned():
     # unwitnessed ★ families took the slots; the r4 rotation swapped
     # three already-driver-witnessed rows (b14/fingerprint/gif, green
     # in r3, families still represented in-window) for the round's
-    # flagship additions (kmeans / LR classifier / conv-prefix dedup)
+    # flagship additions (kmeans / LR classifier / conv-prefix dedup);
+    # the late-r4 rotation swapped embed_norm_by_label and
+    # text_token_count_stats (both driver-green in r3, families still
+    # in-window via text_lang_id/text_quality_score/embed_kmeans) for
+    # the portable-hash MinHash/SimHash chain proofs — the strongest
+    # new correctness claims of the round
     missing = [n for n in window if n not in ORACLE_SQL]
     assert missing == [], f"non-evidence queries inside the window: {missing}"
     # the EXACT window content AND order, pinned: the driver's
@@ -154,8 +159,8 @@ def test_driver_evidence_window_is_pinned():
         "dedup_exact", "dedup_ngram_jaccard",
         "dedup_components", "dedup_incremental",
         "ann_cosine_topk", "ann_pairs_threshold",
-        "embed_norm_by_label", "text_lang_id",
-        "text_quality_score", "text_token_count_stats",
+        "dedup_minhash_portable", "text_lang_id",
+        "text_quality_score", "dedup_simhash_portable",
         "text_quality_lr", "c5_search_bm25_topk",
         "text_gopher_quality", "mm_jpeg_color_stats",
         "mm_adpcm_stats", "x_conv_prefix_dedup",
