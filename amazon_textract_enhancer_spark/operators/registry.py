@@ -209,6 +209,7 @@ SPARK_QUERIES = {
     "sketch_percentile_approx": rel.sketch_percentile_approx,  # ✂
     "embed_norm_by_label": similarity.embed_norm_by_label,
     "text_token_count_stats": textstats.text_token_count_stats,
+    "sample_priority_weighted": textstats.sample_priority_weighted,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2514,5 +2515,26 @@ ORACLE_SQL = {
           ON a.band = b.band AND a.bucket = b.bucket
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= {dedup.PSIM_HAMMING_MAX}
+    """,
+    # priority-sampling twin: identical u (md5 bits / 2^32), identical
+    # 9-significant-digit pre-round on the pow key, identical tie-break
+    "sample_priority_weighted": f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   round(pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8))::BIGINT / 4294967296.0,
+                             1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)),
+                         9) AS priority
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, priority,
+               CAST(rank_in_stratum AS INT) AS rank_in_stratum
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY priority DESC, doc_id ASC)
+                   AS rank_in_stratum
+            FROM keyed)
+        WHERE rank_in_stratum <= {textstats.PRIORITY_SAMPLE_K}
     """,
 }

@@ -572,3 +572,44 @@ def sample_fixed_per_stratum(spark, sf_dir, *, k: int = SAMPLE_K_PER_STRATUM):
         .withColumn("rank_in_stratum", F.row_number().over(w).cast("int"))
         .filter(F.col("rank_in_stratum") <= k)
     )
+
+
+PRIORITY_SAMPLE_K = 5
+
+
+def sample_priority_weighted(
+    spark, sf_dir, *, k: int = PRIORITY_SAMPLE_K,
+):
+    """WEIGHTED exact-k per-stratum sampling (★) — the
+    Efraimidis-Spirakis priority trick: each doc draws a content-stable
+    uniform u (md5 bits) and competes with key u^(1/w); the top-k keys
+    per stratum are a weighted-without-replacement sample where
+    P(selected) scales with the weight (here w = n_chars: longer docs
+    carry more training tokens, the usual budget-weighted pick). One
+    pass, no rejection loop, reproducible across engines/partitionings
+    — the distributed form of weighted reservoir sampling (Efraimidis
+    & Spirakis 2006).
+
+    Cross-engine determinism: u is exact (md5 bits / 2^32); pow() can
+    differ by an ulp between libm implementations, so the ORDERING key
+    is pre-rounded to 9 significant decimals (boundary collisions are
+    ~1e-11-probable and doc_id breaks any tie). Same window shape as
+    ``sample_fixed_per_stratum``; same mega-strata note applies."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w_col = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    key = F.round(F.pow(u, 1.0 / w_col), 9)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("priority"))
+        .withColumn("rank_in_stratum", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_in_stratum") <= k)
+    )

@@ -644,3 +644,31 @@ def test_novelty_shuffles_are_ngram_keyed_once(spark):
     )
     assert shingle_exchanges <= 2, plan
     assert "ReusedExchange" in plan or shingle_exchanges == 1, plan
+
+
+# ---------------------------------------------------- priority sampling
+
+
+def test_priority_sampling_prefers_heavy_weights(spark, monkeypatch):
+    """Efraimidis-Spirakis semantics: with weights 10^5 vs 10, the
+    heavy docs dominate the per-stratum top-k (u^(1/w) -> 1 as w
+    grows). Deterministic given the md5 draws, so the assertion is
+    exact, not statistical."""
+    from amazon_textract_enhancer_spark.operators import textstats as T
+
+    rows = [(i, "x" * (100_000 if i < 5 else 10), "en", "s", 100_000 if i < 5 else 10)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    monkeypatch.setattr(T, "t", lambda _s, _d, _n: df)
+    got = T.sample_priority_weighted(spark, "ignored").collect()
+    assert len(got) == T.PRIORITY_SAMPLE_K
+    heavy = sum(1 for r in got if r["doc_id"] < 5)
+    assert heavy >= 4, [(r["doc_id"], r["priority"]) for r in got]
+    # ranks are 1..k and priorities are non-increasing
+    ranked = sorted(got, key=lambda r: r["rank_in_stratum"])
+    assert [r["rank_in_stratum"] for r in ranked] == list(range(1, 6))
+    ps = [r["priority"] for r in ranked]
+    assert ps == sorted(ps, reverse=True)
