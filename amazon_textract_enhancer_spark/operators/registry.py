@@ -210,6 +210,7 @@ SPARK_QUERIES = {
     "embed_norm_by_label": similarity.embed_norm_by_label,
     "text_token_count_stats": textstats.text_token_count_stats,
     "sample_priority_weighted": textstats.sample_priority_weighted,
+    "ann_lsh_portable": similarity.ann_lsh_portable,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2536,5 +2537,43 @@ ORACLE_SQL = {
                    AS rank_in_stratum
             FROM keyed)
         WHERE rank_in_stratum <= {textstats.PRIORITY_SAMPLE_K}
+    """,
+    # portable-LSH-ANN twin: JL sign projections (same in-order fold
+    # as the embed_random_projection twin), bucket bits, the 1-bit
+    # probe set and the exact cosine verify all replayed
+    "ann_lsh_portable": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pr AS (
+            SELECT vec_id, v,
+                   list_transform(generate_series(1, {similarity.ANN_PORTABLE_BITS}), kk ->
+                       list_sum(list_transform(
+                           generate_series(1, len(v)),
+                           i -> CASE WHEN ('0x' || substr(md5(i || '_' || kk),
+                                                          1, 1))::INT < 8
+                                     THEN v[i] ELSE -v[i] END))) AS proj
+            FROM e
+        ), bk AS (
+            SELECT vec_id, v,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, {similarity.ANN_PORTABLE_BITS}),
+                       b -> CASE WHEN proj[b] >= 0
+                                 THEN (1 << (b - 1)) ELSE 0 END)) AS INT)
+                   AS bucket
+            FROM pr
+        ), q AS (
+            SELECT v AS qv, bucket AS qb FROM bk WHERE vec_id = 0
+        ), probes AS (
+            SELECT unnest([qb] || list_transform(
+                       generate_series(0, {similarity.ANN_PORTABLE_BITS} - 1),
+                       j -> CAST(xor(qb, 1 << j) AS INT))) AS pb
+            FROM q
+        )
+        SELECT bk.vec_id, bk.bucket,
+               round(list_dot_product(bk.v, q.qv)
+                     / (sqrt(list_dot_product(bk.v, bk.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM bk, q
+        WHERE bk.vec_id <> 0 AND bk.bucket IN (SELECT pb FROM probes)
+        ORDER BY cos_sim DESC, bk.vec_id LIMIT 10
     """,
 }

@@ -976,3 +976,71 @@ def embed_random_projection(
             "vec_id", (F.col("k0") + 1).cast("int").alias("k"), "y"
         )
     )
+
+
+ANN_PORTABLE_BITS = 8
+
+
+def ann_lsh_portable(
+    spark: SparkSession, sf_dir: str, *, k: int = TOP_K
+) -> DataFrame:
+    """Hyperplane-LSH ANN with ENGINE-PORTABLE planes (★) — the
+    bucket-probed sibling of ``ann_lsh_bucketed`` whose every stage the
+    DuckDB twin replays: the ``ANN_PORTABLE_BITS`` sign bits of the JL
+    projections (``embed_random_projection``'s derived ±1 planes) form
+    a bucket id; the query probes its own bucket plus all 1-bit flips
+    (multi-probe — 9 buckets of 256); candidates get an EXACT cosine
+    verify and a deterministic top-k. In-order folds keep every dot
+    product IEEE-identical across engines, so sign decisions, bucket
+    ids, the candidate set and the ranking all hash-match.
+
+    Scale shape: one map-side bucket computation over the corpus (zero
+    exchanges — same derived-sign trick as the JL operator), a
+    broadcast of the 1-row query, a bucket-membership FILTER (the 9
+    probe ids fold into an array-contains against the broadcast query
+    bucket — no shuffle), then TakeOrdered. At 10^12 vectors the
+    bucketed table is committed and the probe is partition pruning —
+    the IVF pattern with hyperplane geometry."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    proj = F.expr(
+        f"""
+        transform(sequence(1, {ANN_PORTABLE_BITS}), kk ->
+            aggregate(
+                zip_with(v, sequence(1, size(v)), (x, i) ->
+                    CASE WHEN conv(substring(md5(concat(
+                             cast(i AS STRING), '_', cast(kk AS STRING))),
+                             1, 1), 16, 10) < 8
+                         THEN x ELSE -x END),
+                CAST(0.0 AS DOUBLE), (acc, e) -> acc + e))
+        """
+    )
+    bucket = F.expr(
+        f"aggregate(zip_with(proj, sequence(0, {ANN_PORTABLE_BITS - 1}), "
+        "(y, b) -> if(y >= 0, shiftleft(1, b), 0)), 0, (acc, x) -> acc | x)"
+    )
+    bucketed = emb.withColumn("proj", proj).select(
+        "vec_id", "v", bucket.alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    probes = F.expr(
+        f"transform(sequence(0, {ANN_PORTABLE_BITS}), j -> "
+        "if(j = 0, qb, CAST(qb ^ shiftleft(1, j - 1) AS INT)))"
+    )
+    sim = F.round(
+        _dot(F.col("v"), F.col("qv"))
+        / (_norm(F.col("v")) * _norm(F.col("qv"))),
+        6,
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.array_contains(probes, F.col("bucket")))
+        .select("vec_id", F.col("bucket").cast("int").alias("bucket"),
+                sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -124,3 +124,27 @@ def test_random_projection_preserves_distances_in_aggregate(spark):
     }
     for r in rows[:100]:
         assert again[(r["vec_id"], r["k"])] == r["y"]
+
+
+# --------------------------------------------------- portable LSH ANN
+
+
+def test_ann_lsh_portable_equals_bruteforce_within_probes(spark):
+    """Candidate selection = bucket membership in the 9-probe set;
+    ranking = exact cosine. The default top-10 must equal the
+    re-sorted head of the FULL probed candidate set (k = corpus size;
+    never pass a huge k to limit() — TakeOrdered allocates k slots)."""
+    all_cands = [
+        (r["vec_id"], r["cos_sim"], r["bucket"])
+        for r in S.ann_lsh_portable(spark, SF_DIR, k=500).collect()
+    ]
+    assert all_cands, "probe set should be non-empty on the fixture"
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.ann_lsh_portable(spark, SF_DIR).collect()
+    ]
+    assert 1 <= len(got) <= 10
+    want = sorted(
+        ((v, c) for v, c, _ in all_cands), key=lambda t: (-t[1], t[0])
+    )[: len(got)]
+    assert got == want
