@@ -2435,11 +2435,15 @@ ORACLE_SQL = {
                                 i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])
                           ELSE [] END) AS shingle
             FROM toks
+        ), sh2 AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS ha,
+                   ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS hb
+            FROM sh
         ), mins AS (
             SELECT doc_id, s,
-                   min(('0x' || substr(md5(CAST(s AS VARCHAR) || '|'
-                                           || shingle), 1, 15))::BIGINT) AS h
-            FROM sh, unnest(generate_series(0, 15)) AS t(s)
+                   min((ha + s * hb) % 72057594037927936) AS h
+            FROM sh2, unnest(generate_series(0, 15)) AS t(s)
             GROUP BY 1, 2
         ), sig AS (
             SELECT doc_id, list(CAST(h AS VARCHAR) ORDER BY s) AS hv
@@ -2460,11 +2464,8 @@ ORACLE_SQL = {
               ON a.b = bb.b AND a.bucket = bb.bucket
              AND a.doc_id < bb.doc_id
         ), prof AS (
-            SELECT doc_id,
-                   list(DISTINCT ('0x' || substr(md5('u|' || shingle),
-                                                 1, 15))::BIGINT) AS hs,
-                   count(*) AS sz
-            FROM sh GROUP BY 1
+            SELECT doc_id, list(DISTINCT ha) AS hs, count(*) AS sz
+            FROM sh2 GROUP BY 1
         )
         SELECT doc_a, doc_b,
                round(len(list_intersect(pa.hs, pb.hs)) * 1.0
