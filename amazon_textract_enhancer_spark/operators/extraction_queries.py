@@ -699,6 +699,13 @@ def x_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = (
         anchors.join(F.broadcast(own), "conv_id")
         .crossJoin(F.broadcast(pool_n))
+        # pool_n >= 2 guard (ADVICE r5): with a single assistant-bearing
+        # conversation the draw is modulo-by-zero — Spark would yield
+        # null and silently drop every anchor while DuckDB raises, a
+        # cross-engine divergence. An explicit in-plan filter makes both
+        # engines agree on the defined semantics: no other conversation
+        # exists to draw a negative from, so the triplet set is empty.
+        .filter(F.col("pool_n") > 1)
         .withColumn("draw", h % (F.col("pool_n") - 1) + 1)
         .withColumn(
             "cid",

@@ -2235,6 +2235,7 @@ ORACLE_SQL = {
             FROM anchors
             JOIN pool own ON own.neg_conv = anchors.conv_id
             CROSS JOIN n
+            WHERE pool_n > 1  -- mirror the Spark pool_n >= 2 guard
         ), picked AS (
             SELECT *,
                    CASE WHEN h % (pool_n - 1) + 1 >= own_cid

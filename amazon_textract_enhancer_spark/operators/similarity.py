@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .io_util import t
+from .io_util import parquet_row_count, t
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -202,12 +202,14 @@ def ann_lsh_bucketed(
 
     ``n_planes=None`` derives the plane count from the corpus count via
     ``lsh_n_planes_for`` (VERDICT r2 item 5) — fixed 8 planes at 10^12
-    rows would put every vector in 256 buckets and trip the cap. Pass
-    ``corpus_count`` (a committed stats/manifest number — TableIO
-    manifests carry per-table row counts) to avoid the fallback
-    ``emb.count()``, which is an extra full-scan job PER QUERY CALL at
-    production scale (ADVICE r3); the plane count only needs the
-    order of magnitude, so a slightly stale committed count is fine.
+    rows would put every vector in 256 buckets and trip the cap. The
+    count comes from ``corpus_count`` (a committed stats/manifest
+    number — TableIO manifests carry per-table row counts) or, when
+    not passed, from the parquet FOOTER metadata (``parquet_row_count``
+    — no Spark job, no data pages; the Iceberg-manifest analog). The
+    old fallback ran ``emb.count()`` as a full-scan job PER QUERY CALL
+    (ADVICE r4); the plane count only needs the order of magnitude, so
+    a slightly stale committed count is fine.
 
     Skew cap: buckets holding more than ``bucket_cap`` vectors are
     dropped from the BUILD side via a broadcast anti-join (the hot
@@ -226,9 +228,12 @@ def ann_lsh_bucketed(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     if n_planes is None:
-        n_planes = lsh_n_planes_for(
-            corpus_count if corpus_count is not None else emb.count()
-        )
+        if corpus_count is None:
+            # footer-metadata count (no Spark job) — the committed-stats
+            # read the docstring mandates; the old emb.count() fallback
+            # was a full-scan job per query call (ADVICE r4)
+            corpus_count = parquet_row_count(sf_dir, "embeddings")
+        n_planes = lsh_n_planes_for(corpus_count)
     bucketed = lsh_bucketed_vectors(emb, n_planes)
     hot = (
         bucketed.groupBy("bucket")
@@ -526,9 +531,16 @@ def ivf_index_refresh(
     assigned = _assign_buckets(_unit_vectors(new_emb), cents).select(
         "vec_id", "v", "uv", "bucket"
     )
-    new_stale = (
-        stale_vec_ids if stale_vec_ids is not None else new_emb
-    ).select("vec_id").distinct()
+    # every changed vector's id must land in the stale set (its main
+    # row is superseded) — so an explicit stale_vec_ids list (deletes)
+    # UNIONS with new_emb's ids rather than replacing them; a mixed
+    # call (changed vectors + deletes) previously left the changed
+    # vectors' main rows unmasked and their prior delta rows undropped
+    # (ADVICE r5: duplicate vec_ids in the merged view)
+    new_stale = new_emb.select("vec_id")
+    if stale_vec_ids is not None:
+        new_stale = new_stale.unionByName(stale_vec_ids.select("vec_id"))
+    new_stale = new_stale.distinct()
     prev = io.read_manifest("ivf_index_delta")
     if prev is not None and prev["rows"] > 0:
         prev_delta = io.read_table(spark, "ivf_index_delta").join(

@@ -536,12 +536,47 @@ def heavy_hitters(
     )
 
 
+_TOTAL_GRAMS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def documents_total_grams(spark, sf_dir: str, k: int = HH_NGRAM_K) -> int:
+    """Total k-gram count over `documents` — the corpus-stats scalar
+    the Misra-Gries precondition check consumes (N in
+    ``min_count > N/(capacity+1)``). Memoized per (sf_dir, k): in
+    production this is a committed corpus-stats table scalar (the
+    pipeline's ``corpus_stats`` stage pattern), refreshed per ingest —
+    never recomputed per query. The gram census uses the SAME split
+    as both heavy-hitter passes (``split(lower(text), TOKEN_PATTERN)``
+    keeping empties), so the bound it feeds is over exactly the
+    multiset the MG summary sees."""
+    key = (sf_dir, k)
+    if key not in _TOTAL_GRAMS_CACHE:
+        L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
+        row = (
+            t(spark, sf_dir, "documents")
+            .select(F.greatest(F.size(L) - (k - 1), F.lit(0)).alias("g"))
+            .agg(F.sum("g").cast("long").alias("n"))
+            .collect()[0]
+        )
+        _TOTAL_GRAMS_CACHE[key] = int(row["n"] or 0)
+    return _TOTAL_GRAMS_CACHE[key]
+
+
 def text_heavy_hitters(spark, sf_dir):
     """Registry form (★): trigram heavy hitters (count >= 5) over
     `documents` via the two-pass MG census; the DuckDB twin is the
     brute-force count-all-then-filter, so the value hash pins that the
-    bounded-shuffle path loses nothing."""
-    return heavy_hitters(t(spark, sf_dir, "documents"))
+    bounded-shuffle path loses nothing. Passes the corpus gram count
+    (committed-stats pattern, memoized) so the MG no-false-negative
+    precondition is CHECKED, not trusted (ADVICE r5): past the ~327k
+    grams the fixture constants allow, this raises instead of silently
+    under-reporting — the caller must then rescale min_count/capacity
+    (the production contract is relative: min_count = ceil(φ·N),
+    capacity ≈ 1/φ)."""
+    return heavy_hitters(
+        t(spark, sf_dir, "documents"),
+        total_grams=documents_total_grams(spark, sf_dir),
+    )
 
 
 SAMPLE_K_PER_STRATUM = 20

@@ -311,10 +311,12 @@ class TableIO:
         Readers attach the typed default wherever files lack the
         column; the next ``commit_stage`` that includes the column
         writes it physically, and the evolution entry stays harmless.
-        Rejects duplicates and collisions with physical columns of the
-        current snapshot's schema only when an evolution entry already
-        covers the name (physical collisions are naturally no-ops at
-        read time, but a duplicate evolution is a caller bug)."""
+        Rejects duplicate evolution entries AND collisions with
+        physical columns of the current snapshot's parquet schema
+        (footer read only, no data pages — ADVICE r5: a physical
+        collision is harmless at read time but always a caller bug the
+        metadata commit should surface, exactly like Iceberg's
+        duplicate-field ADD COLUMN rejection)."""
         m = self.read_manifest(name)
         if m is None:
             raise ValueError(f"table {name!r} has no committed manifest")
@@ -322,6 +324,17 @@ class TableIO:
         if any(e["name"] == col for e in evo):
             raise ValueError(
                 f"column {col!r} already added to table {name!r}"
+            )
+        try:
+            import pyarrow.dataset as _ds
+
+            phys = _ds.dataset(self.data_path(name), format="parquet").schema.names
+        except (OSError, ValueError):
+            phys = []
+        if col in phys:
+            raise ValueError(
+                f"column {col!r} already exists physically in table "
+                f"{name!r}'s current snapshot"
             )
         evo = evo + [
             {

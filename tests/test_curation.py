@@ -672,3 +672,41 @@ def test_priority_sampling_prefers_heavy_weights(spark, monkeypatch):
     assert [r["rank_in_stratum"] for r in ranked] == list(range(1, 6))
     ps = [r["priority"] for r in ranked]
     assert ps == sorted(ps, reverse=True)
+
+
+def test_contrastive_triplets_single_conversation_pool_is_empty_on_both_engines(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5: with ONE assistant-bearing conversation the negative
+    draw is h % (pool_n - 1) — modulo by zero. Spark used to yield null
+    and silently drop every anchor while the DuckDB twin raised: a
+    cross-engine divergence. Both engines now agree via an explicit
+    pool_n > 1 guard — the triplet set is EMPTY (no other conversation
+    exists to draw a negative from), and neither engine errors."""
+    import duckdb
+
+    from amazon_textract_enhancer_spark.operators import extraction_queries as xq
+    from amazon_textract_enhancer_spark.operators.registry import (
+        ORACLE_SQL,
+        _XTRANS,
+    )
+
+    tiny = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "question one", None),
+            ("c1", 1, "assistant", "answer one", None),
+            ("c1", 2, "user", "question two", None),
+            ("c1", 3, "assistant", "answer two", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    p = str(tmp_path / "single_conv.parquet")
+    tiny.toPandas().to_parquet(p)
+
+    monkeypatch.setattr(xq, "fixture_transcripts", lambda s, d: tiny)
+    got = xq.x_contrastive_triplets(spark, "unused")
+    assert got.count() == 0  # empty, not nulls, not an error
+
+    sql = ORACLE_SQL["x_contrastive_triplets"].replace(_XTRANS, p)
+    oracle = duckdb.sql(sql).fetchall()
+    assert oracle == []  # twin agrees: empty, no modulo-by-zero error

@@ -118,3 +118,42 @@ def test_exact_pass_broadcasts_candidates(spark):
     plan = executed_plan(df)
     assert n_broadcast_joins(df) >= 1, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_registry_form_checks_the_mg_bound_from_corpus_stats(spark):
+    """ADVICE r5: the registry form must pass the corpus gram count so
+    the Misra-Gries no-false-negative precondition is CHECKED, not
+    trusted. Pins (a) documents_total_grams == the brute-force gram
+    count over the same split, (b) the memo caches (second call does
+    not recount), (c) a capacity too small for that N raises through
+    the same derived count."""
+    from amazon_textract_enhancer_spark.operators.io_util import t
+    from amazon_textract_enhancer_spark.operators.textstats import (
+        _TOTAL_GRAMS_CACHE,
+        HH_NGRAM_K,
+        documents_total_grams,
+        text_heavy_hitters,
+    )
+    from amazon_textract_enhancer_spark.operators.serving import TOKEN_PATTERN
+
+    sf = "/root/testdata/sf0.01"
+    _TOTAL_GRAMS_CACHE.clear()
+    n = documents_total_grams(spark, sf)
+    L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
+    brute = (
+        t(spark, sf, "documents")
+        .select(F.greatest(F.size(L) - (HH_NGRAM_K - 1), F.lit(0)).alias("g"))
+        .agg(F.sum("g").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n == brute and n > 0
+    assert _TOTAL_GRAMS_CACHE[(sf, HH_NGRAM_K)] == n  # memoized
+    # the ★ query itself runs green with the guard armed
+    assert text_heavy_hitters(spark, sf).count() >= 0
+    # and the guard actually fires when the bound is violated
+    from amazon_textract_enhancer_spark.operators.textstats import heavy_hitters
+
+    with pytest.raises(ValueError, match="MG guarantee"):
+        heavy_hitters(
+            t(spark, sf, "documents"), min_count=1, capacity=8, total_grams=n
+        )

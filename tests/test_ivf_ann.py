@@ -173,3 +173,63 @@ def test_delta_refresh_merge_supersede_delete_and_compaction(spark, tmp_path):
     merged3 = {(r["vec_id"], r["bucket"])
                for r in read_ivf_index_merged(spark, wh).select("vec_id", "bucket").collect()}
     assert merged3 == {(v, b) for v, b in got if v != 2}
+
+
+def test_mixed_refresh_unions_changed_and_deleted_into_stale(spark, tmp_path):
+    """ADVICE r5: a MIXED refresh (changed vectors in new_emb PLUS an
+    explicit stale_vec_ids delete list) must land BOTH id sets in the
+    stale mask — the old code let stale_vec_ids REPLACE new_emb's ids,
+    leaving the changed vectors' superseded main rows unmasked
+    (duplicate vec_ids in the merged view) and their prior delta rows
+    undropped. Pins: merged view has unique vec_ids, the changed vector
+    carries the new value, the deleted vector is gone, and a RE-CHANGED
+    vector's prior delta row is dropped on the next mixed refresh."""
+    from pyspark.sql import functions as F
+
+    from amazon_textract_enhancer_spark.operators.io_util import t
+    from amazon_textract_enhancer_spark.operators.similarity import (
+        ivf_index_refresh,
+        read_ivf_index_merged,
+    )
+
+    wh = str(tmp_path / "ivf-wh-mixed")
+    emb = t(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ivf_build_index(spark, emb, wh)
+
+    # mixed call: vec 1 changes (negated) AND vec 2 is deleted
+    changed = emb.filter(F.col("vec_id") == 1).select(
+        "vec_id", F.transform("v", lambda x: -x).alias("v")
+    )
+    ivf_index_refresh(
+        spark, wh, changed, "m1",
+        stale_vec_ids=spark.createDataFrame([(2,)], "vec_id long"),
+    )
+    merged = read_ivf_index_merged(spark, wh)
+    dupes = (
+        merged.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0  # the ADVICE r5 failure mode: vec 1 twice
+    assert merged.filter(F.col("vec_id") == 2).count() == 0
+    v1 = merged.filter(F.col("vec_id") == 1).select("v").collect()
+    orig1 = emb.filter(F.col("vec_id") == 1).select("v").collect()
+    assert len(v1) == 1 and v1[0]["v"] == [-x for x in orig1[0]["v"]]
+
+    # re-change vec 1 in a second mixed call: its m1 delta row must be
+    # dropped (superseded), vec 3 deleted alongside
+    rechanged = emb.filter(F.col("vec_id") == 1).select(
+        "vec_id", F.transform("v", lambda x: 2.0 * x).alias("v")
+    )
+    ivf_index_refresh(
+        spark, wh, rechanged, "m2",
+        stale_vec_ids=spark.createDataFrame([(3,)], "vec_id long"),
+    )
+    merged2 = read_ivf_index_merged(spark, wh)
+    assert (
+        merged2.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    assert merged2.filter(F.col("vec_id").isin(2, 3)).count() == 0
+    v1b = merged2.filter(F.col("vec_id") == 1).select("v").collect()
+    assert len(v1b) == 1 and v1b[0]["v"] == [2.0 * x for x in orig1[0]["v"]]

@@ -125,3 +125,24 @@ def test_hot_home_bucket_still_probes(spark, tmp_path_factory):
     assert not any(a < 60 and b < 60 for a, b in found)
     # but hot-home vectors probed into the cold neighbor's bucket
     assert any(b == 200 for _, b in found), found
+
+
+def test_plane_count_derives_from_footer_metadata_not_a_scan_job(spark):
+    """ADVICE r4/r5: ann_lsh_bucketed(n_planes=None) must NOT run a
+    per-call emb.count() full-scan job — the corpus size comes from
+    parquet footer metadata (the committed-stats analog). Pins the
+    footer count against the Spark count once, and that the derived
+    plane geometry matches."""
+    from amazon_textract_enhancer_spark.operators.io_util import (
+        parquet_row_count,
+        t,
+    )
+
+    from amazon_textract_enhancer_spark.operators.similarity import (
+        lsh_n_planes_for,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    n_meta = parquet_row_count(sf, "embeddings")
+    assert n_meta == t(spark, sf, "embeddings").count()
+    assert lsh_n_planes_for(n_meta) >= 8  # derived geometry is sane

@@ -217,3 +217,18 @@ def test_evolved_column_survives_recommit_and_time_travel(spark, tmp_path):
     assert old == [(1, 0.5), (2, 0.5)]
     with _pytest.raises(ValueError, match="already added"):
         io.evolve_add_column("t", "quality", "double", default=0.0)
+
+
+def test_evolve_rejects_physical_column_collision(spark, tmp_path):
+    """ADVICE r5: evolving a name that already exists PHYSICALLY in the
+    current snapshot's parquet schema must raise (it masks a caller
+    bug), exactly like a duplicate evolution entry — and the check is
+    footer-only (no data read, no Spark job: pyarrow schema)."""
+    io = TableIO(str(tmp_path / "wh"))
+    _commit(io, spark, "t", [1, 2], "s1")
+    with pytest.raises(ValueError, match="exists physically"):
+        io.evolve_add_column("t", "v", "int", default=0)
+    # a genuinely new column still works, and duplicates still raise
+    io.evolve_add_column("t", "quality", "double", default=0.5)
+    with pytest.raises(ValueError, match="already added"):
+        io.evolve_add_column("t", "quality", "double", default=0.5)
