@@ -49,12 +49,12 @@ _IMPORT_TIME = _time.time()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE_ROOT = os.path.join(_REPO_ROOT, ".fixture_cache")
-FIXTURE_VERSION = "v3"
+FIXTURE_VERSION = "v4"  # v4: + responses/answers (B11 fixture corpus)
 SEED = 42
 WHALE_CAP = 120  # same corpus shape as rounds 1-2 (extraction_queries)
 
 _FILES = ("transcripts.parquet", "spans.parquet", "blocks.parquet",
-          "nodes.parquet")
+          "nodes.parquet", "responses.parquet", "answers.parquet")
 
 
 def cache_dir(n_convs: int) -> str:
@@ -192,10 +192,45 @@ def ensure_fixture_cache(n_convs: int) -> str:
         tbl = pa.Table.from_pylist(_naive_ts(data), schema=sch)
         pq.write_table(tbl, os.path.join(tmp, name))
 
+    # B11 fixture corpus (v4): deterministic paginated response JSON per
+    # conversation, plus the PURE-PYTHON reference answers — json.loads
+    # → merge_paginated (B14) → answer_queries (B11) over core/blocks —
+    # so the ★ twin pins Spark's from_json→dedup→first-resolved-answer
+    # chain against an independent single-node walk of the same JSON.
+    import json as _json
+
+    from .core.blocks import answer_queries, merge_paginated
+    from .fixtures import generate_query_responses
+    from .schemas import QUERY_ANSWERS_SCHEMA, RESPONSES_SCHEMA
+
+    resp_rows = generate_query_responses(sorted({r["conv_id"] for r in ordered}))
+    answers_rows: list[dict] = []
+    by_turn: dict[tuple, list] = {}
+    for rr in resp_rows:
+        by_turn.setdefault((rr["conv_id"], rr["turn_idx"]), []).append(rr)
+    for (cid, tix), chunks in sorted(by_turn.items()):
+        ordered_chunks = sorted(chunks, key=lambda c: c["page_seq"])
+        merged = merge_paginated(
+            [_json.loads(c["response_json"])["Blocks"] for c in ordered_chunks]
+        )
+        for a in answer_queries(merged):
+            answers_rows.append(
+                {
+                    "conv_id": cid,
+                    "turn_idx": tix,
+                    "page": a["page"],
+                    "question": a["question"],
+                    "answer": a["answer"],
+                    "confidence": float(a["confidence"]),
+                }
+            )
+
     write("transcripts.parquet", ordered, TRANSCRIPT_SCHEMA)
     write("spans.parquet", spans, EXTRACTED_SPANS_SCHEMA)
     write("blocks.parquet", blocks_rows, BLOCKS_LONG_SCHEMA)
     write("nodes.parquet", nodes_rows, NODES_LONG_SCHEMA)
+    write("responses.parquet", resp_rows, RESPONSES_SCHEMA)
+    write("answers.parquet", answers_rows, QUERY_ANSWERS_SCHEMA)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(f"{FIXTURE_VERSION} seed={SEED} n_convs={n_convs} "
                 f"whale_cap={WHALE_CAP}\n")

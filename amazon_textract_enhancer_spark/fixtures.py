@@ -336,6 +336,122 @@ def generate_transcripts_distributed(
     )
 
 
+def query_response_chunks(conv_id: str) -> list[dict]:
+    """Deterministic paginated Textract-style ``GetDocumentAnalysis``
+    response chunks for ONE conversation — the B11 (query answering)
+    fixture corpus ([SVC:2193-2225, 3036-3056]). Content derives from
+    md5(conv_id) only (no rng state), so the distributed and
+    single-node generators are the same function.
+
+    Every conversation gets a PAGE block and a resolved QUERY → ANSWER
+    → QUERY_RESULT chain split across TWO chunks with the QUERY_RESULT
+    duplicated in both (exercises the B14 order-preserving dedup on
+    ingest). A second query varies by md5 class to cover every B11
+    edge: (0) first ANSWER id dangling, second resolves — the skip
+    path; (1) no ANSWER relationship at all — the ("", 0.0) default;
+    (2) first ANSWER id resolves to a non-QUERY_RESULT block, second
+    to the real result — the type-skip path; (3) single query only.
+    Confidences are multiples of 0.25, exact in float32 AND float64,
+    so the cross-engine value hash is cast-stable.
+
+    Returns [{conv_id, turn_idx, page_seq, response_json}]."""
+    import hashlib
+    import json as _json
+
+    h = int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16)
+    variant = h % 4
+    total = f"${100 + h % 900}.{h % 100:02d}"
+    conf1 = 90.0 + (h % 32) * 0.25
+    conf2 = 70.0 + (h % 64) * 0.25
+
+    q1 = {
+        "Id": "q1", "BlockType": "QUERY", "Page": 1,
+        "Query": {"Text": "What is the invoice total?", "Alias": "TOTAL"},
+        "Relationships": [{"Type": "ANSWER", "Ids": ["qr1"]}],
+    }
+    qr1 = {"Id": "qr1", "BlockType": "QUERY_RESULT", "Text": total,
+           "Confidence": conf1, "Page": 1}
+    chunk0_blocks = [
+        {"Id": "p1", "BlockType": "PAGE", "Page": 1,
+         "Relationships": [{"Type": "CHILD", "Ids": ["q1"]}]},
+        q1,
+        qr1,
+    ]
+    chunk1_blocks = [qr1]  # duplicated across chunks: B14 dedup fodder
+    if variant == 0:
+        chunk1_blocks += [
+            {"Id": "q2", "BlockType": "QUERY", "Page": 1,
+             "Query": {"Text": "Who is the vendor?", "Alias": "VENDOR"},
+             "Relationships": [{"Type": "ANSWER", "Ids": ["ghost", "qr2"]}]},
+            {"Id": "qr2", "BlockType": "QUERY_RESULT",
+             "Text": f"vendor-{h % 50}", "Confidence": conf2, "Page": 1},
+        ]
+    elif variant == 1:
+        chunk1_blocks += [
+            {"Id": "q2", "BlockType": "QUERY", "Page": 1,
+             "Query": {"Text": "Who is the vendor?", "Alias": "VENDOR"}},
+        ]
+    elif variant == 2:
+        chunk1_blocks += [
+            {"Id": "q2", "BlockType": "QUERY", "Page": 1,
+             "Query": {"Text": "Who is the vendor?", "Alias": "VENDOR"},
+             "Relationships": [{"Type": "ANSWER", "Ids": ["w9", "qr2"]}]},
+            {"Id": "w9", "BlockType": "WORD", "Text": "not-a-result",
+             "Confidence": 99.0, "Page": 1},
+            {"Id": "qr2", "BlockType": "QUERY_RESULT",
+             "Text": f"vendor-{h % 50}", "Confidence": conf2, "Page": 1},
+        ]
+    resp0 = {"JobStatus": "SUCCEEDED", "NextToken": "tok1",
+             "Blocks": chunk0_blocks}
+    resp1 = {"JobStatus": "SUCCEEDED", "Blocks": chunk1_blocks}
+    return [
+        {"conv_id": conv_id, "turn_idx": 0, "page_seq": 0,
+         "response_json": _json.dumps(resp0, sort_keys=True)},
+        {"conv_id": conv_id, "turn_idx": 0, "page_seq": 1,
+         "response_json": _json.dumps(resp1, sort_keys=True)},
+    ]
+
+
+def generate_query_responses(conv_ids: list[str]) -> list[dict]:
+    """Single-node form: response chunks for every conversation, in
+    (conv_id, page_seq) order — what the pure-Python fixture cache
+    writes to ``responses.parquet``."""
+    rows: list[dict] = []
+    for cid in sorted(conv_ids):
+        rows.extend(query_response_chunks(cid))
+    return rows
+
+
+def generate_query_responses_distributed(spark, transcripts):
+    """Distributed form for sf past the single-node-oracle scope: one
+    mapInArrow over the DISTINCT conv_ids (same pure per-conv function,
+    so small-sf parity transfers), no driver materialization."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from .schemas import RESPONSES_SCHEMA
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(RESPONSES_SCHEMA)
+        names = [f.name for f in arrow_schema]
+        for rb in batches:
+            out: list[dict] = []
+            for cid in rb.column(0).to_pylist():
+                out.extend(query_response_chunks(cid))
+            arrays = [
+                pa.array([r[n] for r in out], arrow_schema.field(n).type)
+                for n in names
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return transcripts.select("conv_id").distinct().mapInArrow(
+        gen, RESPONSES_SCHEMA
+    )
+
+
 def rows_to_pandas(rows: list[dict]):
     import pandas as pd
 

@@ -141,6 +141,67 @@ def fixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.read_table(spark, "tokens")
 
 
+def fixture_query_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/B14 — the committed INGESTED blocks table over the B11
+    fixture responses: raw paginated response JSON (fixture
+    ``responses.parquet``; distributed generation past the oracle
+    scope) → ``from_json`` parse + order-preserving chunk dedup
+    (``sources.blockjson.parse_response_chunks``) → TableIO commit
+    bucketed by conv_id. Queries over raw-JSON ingest read THIS table —
+    the same committed-fixture discipline as spans/blocks/nodes."""
+    from ..sources.blockjson import parse_response_chunks
+
+    n = n_convs_for(sf_dir)
+    if n <= _DISTRIBUTED_GEN_MIN_CONVS:
+        ensure_fixture_cache(n)
+    io, snapshot = _fixture_io(n)
+    if not io.is_committed("query_blocks", snapshot, _FIXTURE_CFG):
+        if n <= _DISTRIBUTED_GEN_MIN_CONVS:
+            resp = spark.read.parquet(table_path(n, "responses"))
+        else:
+            from ..fixtures import generate_query_responses_distributed
+
+            resp = generate_query_responses_distributed(
+                spark, fixture_transcripts(spark, sf_dir)
+            )
+        io.commit_stage(
+            parse_response_chunks(resp), "query_blocks", snapshot,
+            _FIXTURE_CFG, bucket_col="conv_id", n_buckets=8,
+        )
+    return io.read_table(spark, "query_blocks")
+
+
+def x_query_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 (★) — query answering over INGESTED raw block JSON: the
+    QUERY → ANSWER → QUERY_RESULT chain ([SVC:3036-3056]) with exactly
+    ``core.blocks.answer_queries``' semantics (first resolved
+    QUERY_RESULT in relationship order; dangling/mistyped ids skipped;
+    ("", 0.0) default). The DuckDB twin reads the pure-Python reference
+    answers (fixture ``answers.parquet`` — json.loads → merge_paginated
+    → answer_queries over the SAME response JSON), so the ★ row pins
+    the whole ingest chain: from_json parse, B14 cross-chunk dedup, and
+    the first-resolved-answer pick, against an independent single-node
+    implementation.
+
+    Plan shape at scale: the blocks table is conv_id-bucketed (the
+    query/result self-join and the per-query window are co-located);
+    nothing leaves the executor except the final rows."""
+    from ..sources.blockjson import answers_relational
+
+    blocks = fixture_query_blocks(spark, sf_dir)
+    out = answers_relational(blocks)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "page",
+        "question",
+        "answer",
+        # fixture confidences are 0.25-multiples: float32 → float64 is
+        # exact, so the value hash is cast-stable across engines
+        F.col("confidence").cast("double").alias("confidence"),
+    ).orderBy("conv_id", "turn_idx", "question")
+
+
 def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction: per-turn main text + span counts,
     stable (conv_id, turn_idx) order."""

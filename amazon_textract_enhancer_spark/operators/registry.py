@@ -34,6 +34,7 @@ _XN_SF001 = 40
 _XSPANS = _xcache_path(_XN_SF001, "spans")
 _XBLOCKS = _xcache_path(_XN_SF001, "blocks")
 _XTRANS = _xcache_path(_XN_SF001, "transcripts")
+_XANSWERS = _xcache_path(_XN_SF001, "answers")
 
 # ---------------------------------------------------------------------
 # EVIDENCE-WINDOW RULE (VERDICT r2 item 1): the driver records rows for
@@ -58,6 +59,12 @@ SPARK_QUERIES = {
     "x_kv_relational": xq.x_kv_relational,
     "x_doc_text_relational": xq.x_doc_text_relational,
     "x_geometry_reading_order": xq.x_geometry_reading_order,
+    # r5 rotation (VERDICT r4 item 3): B11 — the one §2.B operator that
+    # had never produced a driver row — enters the window; its twin
+    # reads the pure-Python reference answers over the same response
+    # JSON. mm_adpcm_stats moves below the boundary (stays ★p in the
+    # sweep; its codec correctness is pinned by test_adpcm_codec).
+    "x_query_answers": xq.x_query_answers,
     # -- §2.C headline serving endpoints over extracted spans
     "c3_table_fetch": xq.c3_table_fetch,
     "c4_form_fetch": xq.c4_form_fetch,
@@ -116,11 +123,11 @@ SPARK_QUERIES = {
     "c5_search_bm25_topk": serving.c5_search_bm25_topk,
     "text_gopher_quality": cur.text_gopher_quality,
     "mm_jpeg_color_stats": multimodal.mm_jpeg_color_stats,
-    "mm_adpcm_stats": multimodal.mm_adpcm_stats,
     "x_conv_prefix_dedup": xq.x_conv_prefix_dedup,
     # ================= window boundary (first 50 end here) =============
     # everything below is pytest-pinned only (oracle parity sweeps all
     # of ORACLE_SQL; rows-only ✂ queries get the determinism check)
+    "mm_adpcm_stats": multimodal.mm_adpcm_stats,
     "text_bpe_token_estimate": textstats.text_bpe_token_estimate,
     "text_bpe_train_merges": textstats.text_bpe_train_merges,
     "mm_decode_meta": multimodal.mm_decode_meta,
@@ -1001,6 +1008,15 @@ ORACLE_SQL = {
                CAST(len(forms) AS INT) AS n_forms,
                counters.skipped AS skipped
         FROM read_parquet('{_XSPANS}')
+    """,
+    # B11 twin: the pure-Python reference answers (fixture_cache wrote
+    # json.loads → merge_paginated → answer_queries over the SAME
+    # response JSON the Spark side ingests via from_json), so the hash
+    # pins the whole ingest+first-resolved-answer chain cross-engine
+    "x_query_answers": f"""
+        SELECT conv_id, turn_idx, page, question, answer,
+               CAST(confidence AS DOUBLE) AS confidence
+        FROM read_parquet('{_XANSWERS}')
     """,
     "x_extract_tables_csv": f"""
         SELECT conv_id, turn_idx, CAST(pos AS INT) AS table_idx,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     FloatType,
     IntegerType,
     StringType,
@@ -194,5 +195,30 @@ TOKENS_SCHEMA = StructType(
         StructField("conv_id", StringType(), False),
         StructField("turn_idx", IntegerType(), False),
         StructField("tf", IntegerType(), False),
+    ]
+)
+
+# paginated raw-response chunks (B11/B14 ingest fixture): one Textract-
+# style GetDocumentAnalysis response JSON per (conv, turn, page_seq)
+RESPONSES_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("page_seq", IntegerType(), False),
+        StructField("response_json", StringType(), False),
+    ]
+)
+
+# B11 query-answer table: one row per QUERY block ([SVC:3036-3056]);
+# confidence double so both engines compare in float64 (fixture values
+# are 0.25-multiples — exact in float32 and float64)
+QUERY_ANSWERS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("page", IntegerType(), True),
+        StructField("question", StringType(), True),
+        StructField("answer", StringType(), True),
+        StructField("confidence", DoubleType(), True),
     ]
 )

@@ -154,21 +154,54 @@ def parse_response_chunks(chunks: DataFrame) -> DataFrame:
 
 
 def answers_relational(blocks: DataFrame) -> DataFrame:
-    """B11 — QUERY → ANSWER → QUERY_RESULT join over the blocks table."""
+    """B11 — QUERY → ANSWER → QUERY_RESULT over the blocks table, with
+    the exact single-node semantics of ``core.blocks.answer_queries``
+    ([SVC:3036-3056]): ONE row per QUERY block; the answer is the FIRST
+    ANSWER id (relationship order) that resolves to a QUERY_RESULT
+    block — dangling ids and non-QUERY_RESULT targets are skipped, a
+    query none of whose ids resolve keeps its row with ``("", 0.0)``.
+    (The previous inner-explode form dropped no-answer queries and
+    emitted one row per id — r5 alignment so the ★ twin can value-hash
+    this against the pure-Python reference.)
+
+    Plan shape: posexplode_outer keeps empty-relationship queries, the
+    result join is an equi-join on (conv, turn, answer_id), and the
+    first-resolved pick is one row_number window partitioned by the
+    query block id — co-located on a conv_id-bucketed blocks table."""
+    from pyspark.sql import Window
+
     queries = blocks.filter(F.col("block_type") == "QUERY").select(
         "conv_id",
         "turn_idx",
         F.col("page"),
+        F.col("id").alias("query_id"),
         F.col("text").alias("question"),
-        F.explode("answer_ids").alias("answer_id"),
+        F.posexplode_outer("answer_ids").alias("aidx", "answer_id"),
     )
     results = blocks.filter(F.col("block_type") == "QUERY_RESULT").select(
         "conv_id",
         "turn_idx",
         F.col("id").alias("answer_id"),
         F.col("text").alias("answer"),
-        F.col("confidence"),
+        F.col("confidence").alias("answer_conf"),
     )
-    return queries.join(
+    joined = queries.join(
         results, on=["conv_id", "turn_idx", "answer_id"], how="left"
-    ).select("conv_id", "turn_idx", "page", "question", "answer", "confidence")
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "query_id").orderBy(
+        F.col("answer").isNull().cast("int"), F.col("aidx")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "page",
+            "question",
+            F.coalesce(F.col("answer"), F.lit("")).alias("answer"),
+            F.coalesce(F.col("answer_conf"), F.lit(0.0)).cast("float").alias(
+                "confidence"
+            ),
+        )
+    )

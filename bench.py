@@ -233,7 +233,8 @@ def main() -> None:
                    "x_tool_call_graph", "mm_audio_downsample",
                    "c5_search_fuzzy", "sketch_percentile_approx",
                    "dedup_minhash_portable", "dedup_simhash_portable",
-                   "sample_priority_weighted", "ann_lsh_portable")
+                   "sample_priority_weighted", "ann_lsh_portable",
+                   "x_query_answers")
     extra, sprs = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

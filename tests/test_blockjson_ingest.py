@@ -163,3 +163,66 @@ def test_c3_c4_serving_fetch(spark, transcripts_df):
         assert any(r["value"] == row["value"] for r in got_kv)
     finally:
         spans.unpersist()
+
+
+def test_answer_pick_is_first_resolved_query_result(spark):
+    """B11 semantics alignment (r5): one row per QUERY block; the
+    answer is the FIRST ANSWER id that resolves to a QUERY_RESULT —
+    dangling ids and non-QUERY_RESULT targets are skipped in order; a
+    query with nothing resolvable keeps its row with ("", 0.0). Matches
+    core.blocks.answer_queries exactly (the ★ twin's reference)."""
+    import json
+
+    chunk = {
+        "JobStatus": "SUCCEEDED",
+        "Blocks": [
+            # dangling first id, then a real result -> skip-then-find
+            {"Id": "qa", "BlockType": "QUERY", "Page": 1,
+             "Query": {"Text": "a?"},
+             "Relationships": [{"Type": "ANSWER", "Ids": ["ghost", "r1"]}]},
+            {"Id": "r1", "BlockType": "QUERY_RESULT", "Text": "A1",
+             "Confidence": 91.0},
+            # first id resolves to a WORD (not QUERY_RESULT) -> type skip
+            {"Id": "qb", "BlockType": "QUERY", "Page": 1,
+             "Query": {"Text": "b?"},
+             "Relationships": [{"Type": "ANSWER", "Ids": ["w1", "r2"]}]},
+            {"Id": "w1", "BlockType": "WORD", "Text": "nope",
+             "Confidence": 99.0},
+            {"Id": "r2", "BlockType": "QUERY_RESULT", "Text": "B1",
+             "Confidence": 92.0},
+            # no ANSWER relationship -> default row, not a dropped row
+            {"Id": "qc", "BlockType": "QUERY", "Page": 1,
+             "Query": {"Text": "c?"}},
+            # two resolvable ids -> FIRST wins (the break in B11)
+            {"Id": "qd", "BlockType": "QUERY", "Page": 1,
+             "Query": {"Text": "d?"},
+             "Relationships": [{"Type": "ANSWER", "Ids": ["r3", "r4"]}]},
+            {"Id": "r3", "BlockType": "QUERY_RESULT", "Text": "D-first",
+             "Confidence": 80.0},
+            {"Id": "r4", "BlockType": "QUERY_RESULT", "Text": "D-second",
+             "Confidence": 85.0},
+        ],
+    }
+    df = spark.createDataFrame(
+        [("c", 0, 0, json.dumps(chunk))],
+        "conv_id string, turn_idx int, page_seq int, response_json string",
+    )
+    got = {
+        r["question"]: (r["answer"], round(r["confidence"], 2))
+        for r in answers_relational(parse_response_chunks(df)).collect()
+    }
+    assert got == {
+        "a?": ("A1", 91.0),
+        "b?": ("B1", 92.0),
+        "c?": ("", 0.0),
+        "d?": ("D-first", 80.0),
+    }
+
+    # and the pure-Python reference agrees on the same blocks
+    from amazon_textract_enhancer_spark.core.blocks import answer_queries
+
+    ref = {
+        a["question"]: (a["answer"], round(a["confidence"], 2))
+        for a in answer_queries(chunk["Blocks"])
+    }
+    assert ref == got
