@@ -131,7 +131,12 @@ def test_driver_evidence_window_is_pinned():
     # text_token_count_stats (both driver-green in r3, families still
     # in-window via text_lang_id/text_quality_score/embed_kmeans) for
     # the portable-hash MinHash/SimHash chain proofs — the strongest
-    # new correctness claims of the round
+    # new correctness claims of the round; the r5 rotation inserted
+    # x_query_answers (B11 — the one §2.B operator with no driver-row
+    # history across four rounds, VERDICT r4 item 3) and evicted
+    # mm_adpcm_stats (driver-green in r4; its codec family stays
+    # witnessed in-window via mm_jpeg_color_stats and below the
+    # boundary via the ★p twin sweep)
     missing = [n for n in window if n not in ORACLE_SQL]
     assert missing == [], f"non-evidence queries inside the window: {missing}"
     # the EXACT window content AND order, pinned: the driver's
@@ -143,7 +148,7 @@ def test_driver_evidence_window_is_pinned():
         "x_extract_forms_kv", "x_counters_rollup",
         "x_tables_relational", "x_kv_relational",
         "x_doc_text_relational", "x_geometry_reading_order",
-        "c3_table_fetch", "c4_form_fetch",
+        "x_query_answers", "c3_table_fetch", "c4_form_fetch",
         "b2_filter_scan_pushdown", "b12_agg_confidence_stats",
         "b1_join_blockmap_lookup", "b3_child_traversal_posexplode",
         "b4_ordered_text_assembly", "b5_two_level_ordered_concat",
@@ -163,5 +168,5 @@ def test_driver_evidence_window_is_pinned():
         "text_quality_score", "dedup_simhash_portable",
         "text_quality_lr", "c5_search_bm25_topk",
         "text_gopher_quality", "mm_jpeg_color_stats",
-        "mm_adpcm_stats", "x_conv_prefix_dedup",
+        "x_conv_prefix_dedup",
     ]
