@@ -97,8 +97,14 @@ print(json.dumps({
     "wall_sec": round(wall, 2),
     "turns_per_sec": round(turns / wall, 1),
     "stage_seconds": stage_seconds,
+    # lineage block = per-partition counter sums (F4); total them so the
+    # 10x run's counters are comparable to the 1x manifests
     "manifest_counters": {
-        k: {c: v for c, v in m.get("counters", {}).items()}
+        k: {
+            c: sum(p.get(c) or 0 for p in m.get("lineage", []))
+            for c in (m.get("lineage") or [{}])[0]
+            if c not in ("partition_id", "rows")
+        }
         for k, m in manifests.items()
     },
     "manifest_rows": {k: m["rows"] for k, m in manifests.items()},
@@ -134,13 +140,18 @@ def main() -> None:
         "--py-files", ZIP,
         inner, INPUT, WH, str(REPLICAS),
     ]
+    from bench_scaling import _cpu_times
+
+    s0, t0 = _cpu_times()
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
                          timeout=7200)
+    s1, t1 = _cpu_times()
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"scale10x run failed: {out.stderr[-3000:]}")
     res = json.loads(lines[-1])
     res["master"] = MASTER
+    res["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
     res["replicas"] = REPLICAS
     res["warehouse"] = WH
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

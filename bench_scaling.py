@@ -42,8 +42,11 @@ import sys
 import zipfile
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 22000
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+# numeric-only argv parse: bench_scale10x.py imports this module for
+# build_zip() with its own (non-numeric) argv, which must not be
+# interpreted as N_CONVS
+N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 22000
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 3
 # full-pipeline reps: the box's shared-CPU noise is ±30% run-to-run
 # (measured), so a single full run per master can invert the ratio;
 # medians over alternating-order reps bound the noise
