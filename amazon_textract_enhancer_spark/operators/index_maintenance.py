@@ -139,11 +139,14 @@ def compact_serving_index(
         merged_tokens, "tokens", input_snapshot, cfg,
         counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,
     )
-    merged_dl = (
-        io.read_table(spark, "tokens")
-        .groupBy("conv_id", "turn_idx")
-        .agg(F.sum("tf").cast("long").alias("dl"))
-    )
+    # merge the doc_lengths segments directly (same broadcast-anti +
+    # union shape as the token merge) — the r4 form re-aggregated the
+    # ENTIRE just-compacted token index (groupBy over every posting, a
+    # full-index shuffle per compaction); the dl segments already hold
+    # the per-turn sums, so merging them costs ∝ |main dl| rows, not
+    # ∝ |postings|. Equality with a from-scratch rebuild stays pinned
+    # in tests/test_index_maintenance.
+    merged_dl = read_doc_lengths_merged(spark, io)
     m_dl = io.commit_stage(
         merged_dl, "doc_lengths", input_snapshot, cfg,
         counter_cols=["dl"], bucket_col="conv_id", n_buckets=n_buckets,

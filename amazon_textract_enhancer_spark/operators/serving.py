@@ -27,6 +27,31 @@ def tokenize(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     )
 
 
+def _term_array(text_col: str):
+    """Sorted array of a row's terms — THE tokenizer expression shared
+    by term_frequencies and doc_lengths_of, so 'dl == sum(tf)' holds by
+    construction, not by parallel maintenance of two tokenizers."""
+    return F.array_sort(
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda x: x != "")
+    )
+
+
+def doc_lengths_of(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """(id..., dl) — per-row token count via the SAME tokenizer as
+    ``term_frequencies``. Equals ``tokens.groupBy(ids).sum(tf)`` by
+    construction (pinned in tests/test_sql_serving) but is a NARROW map
+    over the source rows: no re-read of the committed token index and
+    no token-volume shuffle. The 10×-input run (BENCH/scale10x.json)
+    measured the groupBy form pushing a 387.7M-posting reduction
+    through a data-independent shuffle-partition constant (+152%
+    per-turn cost vs 1×); this form's cost is ∝ rows, and the only
+    exchange left in the doc_lengths stage is the bucket-by-conv write.
+    Rows with zero tokens are omitted — they have no postings, matching
+    the groupBy form."""
+    n = F.size(_term_array(text_col))
+    return df.select(*id_cols, n.cast("long").alias("dl")).filter(F.col("dl") > 0)
+
+
 def term_frequencies(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     """(id..., term, tf) — identical result to
     ``tokenize(...).groupBy(ids+term).count()`` but with ZERO shuffle:
@@ -39,9 +64,7 @@ def term_frequencies(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFr
     exchange left in the tokens stage is the bucket-by-term write.
     Equality with the groupBy form is pinned in tests/test_sql_serving.
     """
-    terms = F.array_sort(
-        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda x: x != "")
-    )
+    terms = _term_array(text_col)
     df = df.select(*id_cols, terms.alias("_terms"))
     n = F.size("_terms")
     # 0-based indices where a new run starts (ANSI: element_at is 1-based)

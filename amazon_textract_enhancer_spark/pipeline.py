@@ -133,25 +133,24 @@ def run_extraction_pipeline(
     # normalization reads doc_lengths + the corpus_stats scalars
     # (serving.c5_search_bm25_indexed), and ANN's corpus-derived LSH
     # plane count reads a committed count instead of re-running
-    # emb.count() per query (ADVICE r3). Derived from the committed
-    # tokens table — one aggregation pass over the index, not a corpus
-    # re-scan.
+    # emb.count() per query (ADVICE r3). doc_lengths derives from the
+    # committed SPANS table via the shared tokenizer (dl == sum(tf) by
+    # construction; serving.doc_lengths_of) — the r4 form re-read the
+    # committed token index and pushed its full posting volume through
+    # a groupBy, which the 10×-input run measured going superlinear
+    # through a data-independent shuffle-partition constant
+    # (BENCH/scale10x.json: +152% per-turn at 10×); this form's cost is
+    # ∝ turns, and its only exchange is the bucket-by-conv commit.
     if "corpus_stats" in run_set:
         _t = _time.monotonic()
         from pyspark.sql import functions as F
 
+        from .operators.serving import doc_lengths_of
+
         if io.is_committed("doc_lengths", input_snapshot, CONFIG_HASH):
             manifests["doc_lengths"] = io.read_manifest("doc_lengths")
         else:
-            if not io.is_committed("tokens", input_snapshot, CONFIG_HASH):
-                raise RuntimeError(
-                    "corpus_stats stage needs the tokens table committed "
-                    f"for (snapshot={input_snapshot}, config={CONFIG_HASH})"
-                )
-            toks = io.read_table(spark, "tokens")
-            dl = toks.groupBy("conv_id", "turn_idx").agg(
-                F.sum("tf").cast("long").alias("dl")
-            )
+            dl = doc_lengths_of(spans, "extracted_text", ["conv_id", "turn_idx"])
             manifests["doc_lengths"] = io.commit_stage(
                 dl, "doc_lengths", input_snapshot, CONFIG_HASH,
                 counter_cols=["dl"], bucket_col="conv_id", n_buckets=n_buckets,

@@ -126,6 +126,43 @@ def test_term_frequencies_is_shuffle_free(spark, served):
     assert n_exchanges(df) == 0
 
 
+def test_doc_lengths_of_equals_tokens_groupby(spark, served):
+    """The narrow spans-side dl derivation (pipeline stage 4) must
+    equal sum(tf) over the token index exactly, including which turns
+    are PRESENT (zero-token turns have no postings and no dl row) —
+    the invariant that lets stage 4 skip the full-index re-aggregation
+    the 10×-input run measured going superlinear."""
+    from pyspark.sql import functions as F
+
+    from amazon_textract_enhancer_spark.operators.serving import (
+        doc_lengths_of,
+        term_frequencies,
+    )
+
+    fast = {
+        (r["conv_id"], r["turn_idx"]): r["dl"]
+        for r in doc_lengths_of(
+            served, "extracted_text", ["conv_id", "turn_idx"]
+        ).collect()
+    }
+    spec = {
+        (r["conv_id"], r["turn_idx"]): r["dl"]
+        for r in term_frequencies(served, "extracted_text", ["conv_id", "turn_idx"])
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .collect()
+    }
+    assert fast == spec and len(fast) > 100
+
+
+def test_doc_lengths_of_is_shuffle_free(spark, served):
+    from amazon_textract_enhancer_spark.operators.serving import doc_lengths_of
+    from amazon_textract_enhancer_spark.plans import n_exchanges
+
+    df = doc_lengths_of(served, "extracted_text", ["conv_id", "turn_idx"])
+    assert n_exchanges(df) == 0
+
+
 def test_bm25_indexed_equals_self_contained(spark):
     """c5_search_bm25_indexed over (tokens, doc_lengths, corpus_stats
     scalars) must score identically to c5_search_bm25_topk's in-plan
