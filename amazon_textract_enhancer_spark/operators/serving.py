@@ -27,13 +27,17 @@ def tokenize(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     )
 
 
+def _filtered_terms(text_col: str):
+    """Unsorted array of a row's terms — THE tokenizer expression shared
+    by term_frequencies (which sorts it for the RLE) and doc_lengths_of
+    (size is order-invariant, so it skips the per-row sort), so
+    'dl == sum(tf)' holds by construction, not by parallel maintenance
+    of two tokenizers."""
+    return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda x: x != "")
+
+
 def _term_array(text_col: str):
-    """Sorted array of a row's terms — THE tokenizer expression shared
-    by term_frequencies and doc_lengths_of, so 'dl == sum(tf)' holds by
-    construction, not by parallel maintenance of two tokenizers."""
-    return F.array_sort(
-        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda x: x != "")
-    )
+    return F.array_sort(_filtered_terms(text_col))
 
 
 def doc_lengths_of(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
@@ -48,7 +52,7 @@ def doc_lengths_of(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFram
     exchange left in the doc_lengths stage is the bucket-by-conv write.
     Rows with zero tokens are omitted — they have no postings, matching
     the groupBy form."""
-    n = F.size(_term_array(text_col))
+    n = F.size(_filtered_terms(text_col))
     return df.select(*id_cols, n.cast("long").alias("dl")).filter(F.col("dl") > 0)
 
 
