@@ -42,6 +42,7 @@ def run_extraction_pipeline(
     input_snapshot: str | None = None,
     stages: list[str] | None = None,
     retain_snapshots: int = 0,
+    sort_tokens: bool = False,
 ) -> dict:
     """Run (or resume) the pipeline; returns manifests per stage plus a
     ``_stage_seconds`` timing map (per-stage wall, for the
@@ -121,9 +122,18 @@ def run_extraction_pipeline(
             # tf is within-turn local: run-length encoding per row, zero
             # shuffle — the only exchange is the bucket-by-term write
             toks = term_frequencies(spans, "extracted_text", ["conv_id", "turn_idx"])
+            # sort_tokens (Iceberg write.sort-order analog, default
+            # off): sorting each bucket by term lands one term's
+            # postings contiguously, which (measured, 1M turns)
+            # RLE/dict-compresses the table 131→77 MB and turns parquet
+            # row-group min/max stats into real term zone maps for the
+            # indexed search path — at the cost of +60% tokens-stage
+            # wall (the per-bucket sort). Read-heavy serving deployments
+            # flip it on; the default optimizes pipeline throughput.
             manifests["tokens"] = io.commit_stage(
                 toks, "tokens", input_snapshot, CONFIG_HASH,
                 counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,
+                sort_within=["term", "conv_id", "turn_idx"] if sort_tokens else None,
             )
         stage_seconds["tokens"] = round(_time.monotonic() - _t, 2)
 
