@@ -3,8 +3,9 @@
     transcripts (scan, column-pruned)
     → fused extraction UDF stage        (stages.extract_spans)
     → extracted_spans commit            (F1 bucketed by conv_id, F3)
-    → conversation rollup commit        (F2 salted two-phase agg)
-    → tokens inverted-index commit      (A9/C5-ii serving table)
+    → ┬ conversation rollup commit      (F2 salted two-phase agg)
+      ├ tokens inverted-index commit    (A9/C5-ii serving table)
+      └ doc_lengths + corpus_stats      (serving statistics)
 
 Every stage commits atomically with per-partition lineage counters and
 resumes from the manifest if already committed for the same input
@@ -12,16 +13,30 @@ snapshot (kill-resume test: tests/test_checkpoint_resume.py). This is
 also the job the bench harness runs at two parallelism levels for the
 scaling-efficiency evidence (BASELINE.md protocol).
 
+The three derived stages are independent consumers of the committed
+spans table (the DAG fans out), so they run CONCURRENTLY in one
+session by default — Spark's scheduler is thread-safe and concurrent
+jobs backfill each other's idle task slots, so the level's wall is
+max(stage walls), not their sum. That matters twice at scale: the
+small aggregations (conv_rollup ~5 s, corpus_stats ~8 s of
+parallelism-independent fixed cost each) hide entirely under the
+tokens build instead of adding serial Amdahl floor, and no stage's
+tail (last task of a skewed bucket write) idles the cluster.
+``concurrent_derived=False`` restores stage-at-a-time scheduling
+(useful when each stage is its own spark-submit).
+
 Cluster launch: ``spark-submit --py-files ates.zip run_pipeline.py``
 (see bench_scaling.py for the exact invocation used in-sandbox). In
-production each stage is typically its own spark-submit (Airflow-style
-stage-per-job scheduling) — pass ``stages=[...]`` to run a subset; the
-manifest resume protocol makes the split safe.
+production the two DEPENDENCY LEVELS are typically their own
+spark-submits (extraction, then the derived fan-out in one session) —
+pass ``stages=[...]`` to run a subset; the manifest resume protocol
+makes the split safe.
 """
 
 from __future__ import annotations
 
 import time as _time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -43,6 +58,7 @@ def run_extraction_pipeline(
     stages: list[str] | None = None,
     retain_snapshots: int = 0,
     sort_tokens: bool = False,
+    concurrent_derived: bool = True,
 ) -> dict:
     """Run (or resume) the pipeline; returns manifests per stage plus a
     ``_stage_seconds`` timing map (per-stage wall, for the
@@ -101,8 +117,7 @@ def run_extraction_pipeline(
         spans = io.read_table(spark, "extracted_spans")
 
     # stage 2: conversation rollup (explicit salting F2)
-    if "conv_rollup" in run_set:
-        _t = _time.monotonic()
+    def _stage_conv_rollup() -> None:
         if io.is_committed("conv_rollup", input_snapshot, CONFIG_HASH):
             manifests["conv_rollup"] = io.read_manifest("conv_rollup")
         else:
@@ -111,11 +126,9 @@ def run_extraction_pipeline(
                 rollup, "conv_rollup", input_snapshot, CONFIG_HASH,
                 counter_cols=["n_turns", "n_tables", "n_forms", "n_skipped"],
             )
-        stage_seconds["conv_rollup"] = round(_time.monotonic() - _t, 2)
 
     # stage 3: tokens inverted index (serving layer A9/C5)
-    if "tokens" in run_set:
-        _t = _time.monotonic()
+    def _stage_tokens() -> None:
         if io.is_committed("tokens", input_snapshot, CONFIG_HASH):
             manifests["tokens"] = io.read_manifest("tokens")
         else:
@@ -135,7 +148,6 @@ def run_extraction_pipeline(
                 counter_cols=["tf"], bucket_col="term", n_buckets=n_buckets,
                 sort_within=["term", "conv_id", "turn_idx"] if sort_tokens else None,
             )
-        stage_seconds["tokens"] = round(_time.monotonic() - _t, 2)
 
     # stage 4: serving statistics — per-turn token lengths plus the
     # one-row corpus aggregate (n_docs, avgdl, total_tokens). These are
@@ -151,34 +163,88 @@ def run_extraction_pipeline(
     # through a data-independent shuffle-partition constant
     # (BENCH/scale10x.json: +152% per-turn at 10×); this form's cost is
     # ∝ turns, and its only exchange is the bucket-by-conv commit.
-    if "corpus_stats" in run_set:
-        _t = _time.monotonic()
+    def _stage_corpus_stats() -> None:
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         from .operators.serving import doc_lengths_of
 
+        # The one-row corpus aggregate rides the doc_lengths WRITE via
+        # df.observe() (CollectMetrics): the map tasks that write the
+        # bucketed shards also fold (count, sum, avg) of dl, so the
+        # stats cost zero extra jobs and zero extra scans. The r4 form
+        # re-read the just-committed doc_lengths table — a whole
+        # fresh-session job (~8-10 s parallelism-independent fixed
+        # cost, the measured Amdahl floor of VERDICT r4 item 1) to
+        # reduce one row.
+        obs_row: dict | None = None
         if io.is_committed("doc_lengths", input_snapshot, CONFIG_HASH):
             manifests["doc_lengths"] = io.read_manifest("doc_lengths")
         else:
-            dl = doc_lengths_of(spans, "extracted_text", ["conv_id", "turn_idx"])
-            manifests["doc_lengths"] = io.commit_stage(
-                dl, "doc_lengths", input_snapshot, CONFIG_HASH,
-                counter_cols=["dl"], bucket_col="conv_id", n_buckets=n_buckets,
-            )
-        if io.is_committed("corpus_stats", input_snapshot, CONFIG_HASH):
-            manifests["corpus_stats"] = io.read_manifest("corpus_stats")
-        else:
-            dl = io.read_table(spark, "doc_lengths")
-            stats = dl.agg(
+            obs = Observation()
+            dl = doc_lengths_of(
+                spans, "extracted_text", ["conv_id", "turn_idx"]
+            ).observe(
+                obs,
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("dl").alias("total_tokens"),
                 F.avg("dl").alias("avgdl"),
             )
+            manifests["doc_lengths"] = io.commit_stage(
+                dl, "doc_lengths", input_snapshot, CONFIG_HASH,
+                counter_cols=["dl"], bucket_col="conv_id", n_buckets=n_buckets,
+            )
+            obs_row = obs.get
+        if io.is_committed("corpus_stats", input_snapshot, CONFIG_HASH):
+            manifests["corpus_stats"] = io.read_manifest("corpus_stats")
+        else:
+            if obs_row is not None:
+                stats = spark.createDataFrame(
+                    [(obs_row["n_docs"], obs_row["total_tokens"], obs_row["avgdl"])],
+                    schema="n_docs long, total_tokens long, avgdl double",
+                )
+            else:
+                # resume path (doc_lengths committed by an earlier,
+                # killed run): no live observation — aggregate the
+                # committed table
+                dl2 = io.read_table(spark, "doc_lengths")
+                stats = dl2.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_tokens"),
+                    F.avg("dl").alias("avgdl"),
+                )
             manifests["corpus_stats"] = io.commit_stage(
                 stats, "corpus_stats", input_snapshot, CONFIG_HASH,
                 counter_cols=["n_docs"],
             )
-        stage_seconds["corpus_stats"] = round(_time.monotonic() - _t, 2)
+
+    # derived level: independent consumers of committed spans — run
+    # concurrently (see module doc); wall = max(stage walls), and the
+    # level's own wall is recorded as "derived_level" so harnesses
+    # never sum overlapping per-stage walls
+    derived_fns = {
+        "conv_rollup": _stage_conv_rollup,
+        "tokens": _stage_tokens,
+        "corpus_stats": _stage_corpus_stats,
+    }
+    derived = [s for s in ("conv_rollup", "tokens", "corpus_stats") if s in run_set]
+
+    def _timed(name: str) -> None:
+        _t = _time.monotonic()
+        derived_fns[name]()
+        stage_seconds[name] = round(_time.monotonic() - _t, 2)
+
+    if derived:
+        _t_level = _time.monotonic()
+        if concurrent_derived and len(derived) > 1:
+            with ThreadPoolExecutor(max_workers=len(derived)) as pool:
+                futures = [pool.submit(_timed, s) for s in derived]
+            for f in futures:
+                f.result()  # surface the first stage failure
+        else:
+            for s in derived:
+                _timed(s)
+        stage_seconds["derived_level"] = round(_time.monotonic() - _t_level, 2)
 
     manifests["_stage_seconds"] = stage_seconds
     return manifests
