@@ -83,6 +83,33 @@ def _shingles_raw(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     )
 
 
+def _shingle_hashes_raw(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, sh) with within-document duplicates, where ``sh`` is
+    the int64 xxhash64 of the k token columns — for consumers that only
+    GROUP or COUNT shingles and never read them back as text (the
+    ngram-Jaccard inverted index). Hashing map-side shrinks the one
+    shuffle from (doc_id, ~20-30B string) to (doc_id, 8B long) and
+    skips the concat_ws string build entirely; output Jaccard values
+    are unchanged unless two distinct shingles collide in 64 bits
+    (birthday bound ~n²/2⁶⁵ ≈ 2e-9 at the sf0.1 shingle count, and
+    still <1e-3 at 10¹² shingles — and a collision only ever MERGES two
+    posting lists, overcounting one intersection by 1)."""
+    L = F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)
+    df = df.select("doc_id", L.alias("L"))
+    parts = [F.element_at(F.col("L"), F.col("i") + j) for j in range(k)]
+    return (
+        df.filter(F.size("L") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("L") - (k - 1))).alias("i"),
+            "L",
+        )
+        .select("doc_id", F.xxhash64(*parts).alias("sh"))
+    )
+
+
 def _shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct k-token shingles, pure expressions.
     Costs one dedup exchange; prefer ``_shingles_raw`` + set-aggregation
@@ -143,9 +170,11 @@ def dedup_ngram_jaccard(
     # r5 perf fix: group the RAW shingle stream and dedup inside the
     # aggregation (collect_set ≡ collect_list over pre-distinct rows):
     # one exchange instead of distinct + groupBy — the map-side partial
-    # set also dedups before anything ships
-    sh = _shingles_raw(docs)
-    grouped = sh.groupBy("shingle").agg(F.collect_set("doc_id").alias("ids"))
+    # set also dedups before anything ships. r5b: the index never reads
+    # shingle text back, so the key is the map-side int64 hash — see
+    # _shingle_hashes_raw for the shuffle-width and collision math.
+    sh = _shingle_hashes_raw(docs)
+    grouped = sh.groupBy("sh").agg(F.collect_set("doc_id").alias("ids"))
     sizes = (
         grouped.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")

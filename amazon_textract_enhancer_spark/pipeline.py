@@ -66,7 +66,16 @@ def run_extraction_pipeline(
 
     ``stages``: run only the named subset (stage-per-job scheduling:
     each later stage resumes from the previous stage's committed
-    table)."""
+    table).
+
+    ``n_buckets`` sizing: with the exchange pushed below the
+    extraction (stage 1), the extraction stage runs on exactly
+    ``n_buckets`` tasks — set it to at least the cluster's task-slot
+    count (any bucketed table needs that for write parallelism anyway;
+    the old exchange-above form had the identical cap on its write
+    stage). At production scale the bucket count is a table-spec
+    constant in the thousands, far above any single stage's slot
+    count."""
     run_set = set(stages) if stages is not None else set(STAGES)
     stage_seconds: dict[str, float] = {}
     # retain_snapshots > 0 keeps that many superseded table snapshots
@@ -86,7 +95,20 @@ def run_extraction_pipeline(
         if io.is_committed("extracted_spans", input_snapshot, CONFIG_HASH):
             manifests["extracted_spans"] = io.read_manifest("extracted_spans")
         else:
-            spans = extract_spans(transcripts)
+            # exchange BELOW the extraction (r5): bucket the raw INPUT
+            # by conv_id, then extract — the UDF is a per-turn narrow
+            # map, so it commutes with the repartition and preserves
+            # partition identity; the commit then writes map-side
+            # (pre_bucketed). The old order shuffled the extraction's
+            # OUTPUT: the same rows but ~2× wider, with deeply nested
+            # table/kv structs whose UnsafeRow serialization dominated
+            # the commit cost (measured: +4-26 s at local[8] on 1M
+            # turns, the full-pipeline scaling gate's worst component).
+            # Raw transcript rows are six flat columns — the cheapest
+            # form of this data that will ever exist to shuffle.
+            spans = extract_spans(
+                transcripts.repartition(n_buckets, "conv_id")
+            )
             manifests["extracted_spans"] = io.commit_stage(
                 spans,
                 "extracted_spans",
@@ -96,6 +118,7 @@ def run_extraction_pipeline(
                               "counters.kv_pairs"],
                 bucket_col="conv_id",
                 n_buckets=n_buckets,
+                pre_bucketed=True,
             )
         stage_seconds["extracted_spans"] = round(_time.monotonic() - _t, 2)
 

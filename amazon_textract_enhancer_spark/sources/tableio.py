@@ -137,6 +137,7 @@ class TableIO:
         range_col: str | None = None,
         sort_within: list[str] | None = None,
         extra: dict | None = None,
+        pre_bucketed: bool = False,
     ) -> dict:
         """Write ``df`` as stage output ``name``; no-op if the same
         (input_snapshot, config_hash) is already committed (resume).
@@ -157,6 +158,17 @@ class TableIO:
         columns (Iceberg ``write.sort-order`` analog); combined with
         range_col this gives a totally ordered export without a global
         sort-merge on read.
+        pre_bucketed: the caller asserts ``df`` is ALREADY hash-
+        partitioned into ``n_buckets`` partitions on ``bucket_col``
+        (an upstream ``repartition(n_buckets, col)`` below only
+        partitioning-preserving narrow ops), so the write-side
+        repartition is skipped. This is how a producer pushes the
+        bucket exchange BELOW an expensive map: Catalyst cannot prove a
+        Python map preserves the key column, so without the flag
+        commit_stage would re-exchange the map's (much wider) output.
+        The written layout is identical — both forms use Spark's
+        HashPartitioning(murmur3(col) pmod n), and narrow ops preserve
+        partition identity.
         """
         if bucket_col is not None and range_col is not None:
             raise ValueError("bucket_col and range_col are mutually exclusive")
@@ -170,7 +182,7 @@ class TableIO:
             if d.startswith(".tmp-") or d.startswith(".old-"):
                 shutil.rmtree(os.path.join(tpath, d), ignore_errors=True)
 
-        if bucket_col is not None:
+        if bucket_col is not None and not pre_bucketed:
             df = df.repartition(n_buckets, bucket_col)
         if range_col is not None:
             df = df.repartitionByRange(n_buckets, range_col)

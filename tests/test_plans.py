@@ -232,7 +232,7 @@ def test_dedup_shingle_stream_has_no_pre_aggregation_distinct(spark):
         # a distinct of the stream shows up as an aggregate grouped by
         # both the doc and shingle keys with no aggregate expressions
         assert not re.search(
-            r"HashAggregate\(keys=\[(doc_id#\d+L?, shingle#\d+"
-            r"|shingle#\d+, doc_id#\d+L?)\], functions=\[\]", p
+            r"HashAggregate\(keys=\[(doc_id#\d+L?, (?:shingle|sh)#\d+L?"
+            r"|(?:shingle|sh)#\d+L?, doc_id#\d+L?)\], functions=\[\]", p
         ), p
     assert "ReusedExchange" in pj or pj.count("Scan parquet") <= 1, pj
