@@ -811,3 +811,121 @@ def x_tool_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct("conv_id").alias("n_convs"),
     )
+
+
+def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide LINE deduplication over the extracted
+    corpus (Raffel et al. 2020 §2.2's "discard all but one of any
+    repeated span" applied at line granularity): a non-empty line
+    survives only in its corpus-FIRST occurrence (ordered by conv_id,
+    turn_idx, line_no); later copies — the repeated navigation /
+    boilerplate lines the HTML extractor could not drop because they
+    are unique WITHIN each page but repeated ACROSS the corpus — are
+    removed, and each turn's text is re-assembled from its surviving
+    lines. Empty lines are dropped outright (deduping them would
+    collapse every blank line in the corpus to one survivor; keeping
+    them all would preserve no content — dropping is C4's behavior).
+
+    Plan shape for 10^12 turns: posexplode is map-side; the winner per
+    line is a groupBy(line).min(struct(conv_id, turn_idx, line_no)) —
+    ONE shuffle ∝ distinct lines with map-side partial minima, so the
+    classic hot-boilerplate skew (one line in 10^9 turns) collapses in
+    the map phase instead of flooding one reducer (the window-function
+    formulation would sort the whole hot partition; the min-agg never
+    does). The flag join back is key=line again (ReusedExchange
+    eligible), and re-assembly groups by (conv_id, turn_idx) — the
+    committed table's bucket key. Deterministic: struct min is
+    lexicographic on (conv_id, turn_idx, line_no), all unique."""
+    spans = fixture_spans(spark, sf_dir)
+    lines = spans.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(
+            F.split(F.coalesce(F.col("extracted_text"), F.lit("")), "\n")
+        ).alias("line_no", "line"),
+    )
+    winners = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.min(F.struct("conv_id", "turn_idx", "line_no")).alias("w"))
+    )
+    flagged = lines.join(winners, "line", "left").select(
+        "conv_id",
+        "turn_idx",
+        "line_no",
+        "line",
+        (
+            (F.col("line") != "")
+            & (F.struct("conv_id", "turn_idx", "line_no") == F.col("w"))
+        ).alias("keep"),
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct("line_no", "line")
+    )  # collect_list skips the NULLs of dropped lines
+    return (
+        flagged.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def x_dom_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM TEMPLATE mining over the extracted node table: fingerprint
+    every turn's DOM *skeleton* — the (depth, tag) sequence in document
+    order, content-blind — and census the templates. Turns sharing a
+    fingerprint were rendered from the same page template, which is
+    what template-level boilerplate removal, scraper drift detection,
+    and per-template extraction QA key on at web scale (a handful of
+    templates usually cover most of a crawl).
+
+    Plan shape: the per-turn fingerprint is ONE groupBy over the
+    conv_id-bucketed committed nodes table (struct-sorted collect_list
+    by node_id — the B4 ordered-aggregation pattern — then md5 of the
+    joined sequence, so the key shipped to the census is 32 bytes, not
+    the node list); the census is a second tiny agg keyed by
+    fingerprint. Deterministic: node_id is unique per turn, md5 is
+    portable, and the DuckDB twin replays the identical
+    string_agg(ORDER BY node_id) → md5 chain over the pure-Python
+    reference nodes — so a green row pins the Spark DOM parse ==
+    reference parse at STRUCTURE level, complementing
+    x_nodes_density_relational's text-level pin."""
+    nodes = fixture_nodes(spark, sf_dir)
+    tok = F.concat_ws(
+        ":", F.col("depth").cast("string"), F.col("tag")
+    ).alias("t")
+    sig = nodes.groupBy("conv_id", "turn_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("node_id", tok))),
+                    lambda s: s["t"],
+                ),
+                "|",
+            )
+        ).alias("template_id"),
+        F.count(F.lit(1)).cast("int").alias("n_nodes"),
+    )
+    return (
+        sig.groupBy("template_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.min("n_nodes").alias("n_nodes"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("ex"),
+        )
+        .select(
+            "template_id",
+            "n_turns",
+            "n_nodes",
+            F.col("ex.conv_id").alias("example_conv_id"),
+            F.col("ex.turn_idx").alias("example_turn_idx"),
+        )
+    )

@@ -218,6 +218,10 @@ SPARK_QUERIES = {
     "text_token_count_stats": textstats.text_token_count_stats,
     "sample_priority_weighted": textstats.sample_priority_weighted,
     "ann_lsh_portable": similarity.ann_lsh_portable,
+    # round-5 additions (below the window by the registry rule)
+    "c5_search_hybrid_rrf": serving.c5_search_hybrid_rrf,
+    "x_line_dedup": xq.x_line_dedup,
+    "x_dom_template_census": xq.x_dom_template_census,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2593,5 +2597,120 @@ ORACLE_SQL = {
         FROM bk, q
         WHERE bk.vec_id <> 0 AND bk.bucket IN (SELECT pb FROM probes)
         ORDER BY cos_sim DESC, bk.vec_id LIMIT 10
+    """,
+    # hybrid RRF: the bm25 + tfidf twins' scoring chains verbatim,
+    # each QUALIFYing to its top-RRF_POOL list (4-dp rounding before
+    # ranking, doc_id tie-breaks), fused with the identical
+    # two-term 1/(K+rank) sum
+    "c5_search_hybrid_rrf": f"""
+        WITH dl AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        ), hits AS (
+            SELECT doc_id, term FROM (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            WHERE term IN ('spark', 'merge', 'window')
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2
+        ), dfx AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), idf AS (
+            SELECT term, avgdl,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfx, stats
+        ), bm AS (
+            SELECT tf.doc_id,
+                   round(SUM(idf.idf * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * dl.dl / idf.avgdl))), 4) AS score
+            FROM tf
+            JOIN idf ON idf.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id LIMIT {serving.RRF_POOL}
+        ), dft AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+        ), n AS (SELECT count(*) AS n FROM documents
+        ), ti AS (
+            SELECT doc_id,
+                   round(sum(tf.tf * ln(n.n * 1.0 / dft.df)), 4) AS score
+            FROM tf JOIN dft USING (term), n
+            GROUP BY doc_id ORDER BY score DESC, doc_id
+            LIMIT {serving.RRF_POOL}
+        ), bmr AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id) AS INT) AS bm25_rank
+            FROM bm
+        ), tir AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id) AS INT) AS tfidf_rank
+            FROM ti
+        )
+        SELECT coalesce(bmr.doc_id, tir.doc_id) AS doc_id,
+               bm25_rank, tfidf_rank,
+               round(coalesce(1.0 / ({serving.RRF_K} + bm25_rank), 0.0)
+                     + coalesce(1.0 / ({serving.RRF_K} + tfidf_rank), 0.0),
+                     6) AS rrf_score
+        FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    # C4-style corpus line dedup over the PURE-PYTHON reference spans:
+    # a green row pins the Spark-extracted corpus == reference corpus
+    # through the line-survivorship chain (corpus-first occurrence by
+    # (conv_id, turn_idx, line_no); empty lines always dropped)
+    "x_line_dedup": f"""
+        WITH l AS (
+            SELECT conv_id, turn_idx,
+                   CAST(generate_subscripts(arr, 1) - 1 AS INT) AS line_no,
+                   unnest(arr) AS line
+            FROM (SELECT conv_id, turn_idx,
+                         string_split(coalesce(extracted_text, ''),
+                                      chr(10)) AS arr
+                  FROM read_parquet('{_XSPANS}'))
+        ), flagged AS (
+            SELECT conv_id, turn_idx, line_no, line,
+                   (line <> '' AND row_number() OVER (
+                        PARTITION BY line
+                        ORDER BY conv_id, turn_idx, line_no) = 1) AS keep
+            FROM l
+        )
+        SELECT conv_id, turn_idx,
+               CAST(count(*) AS INT) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+               coalesce(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY line_no), '')
+                   AS cleaned_text
+        FROM flagged GROUP BY 1, 2
+    """,
+    # DOM template census over the reference node table: the twin
+    # replays the identical ordered (depth:tag) sequence -> md5 chain,
+    # so a green row pins Spark DOM parse == reference parse at the
+    # structure level
+    "x_dom_template_census": f"""
+        WITH sig AS (
+            SELECT conv_id, turn_idx,
+                   md5(string_agg(depth || ':' || tag, '|'
+                                  ORDER BY node_id)) AS template_id,
+                   CAST(count(*) AS INT) AS n_nodes
+            FROM read_parquet('{_xcache_path(_XN_SF001, "nodes")}')
+            GROUP BY 1, 2
+        )
+        SELECT template_id, n_turns, n_nodes,
+               example_conv_id, example_turn_idx
+        FROM (
+            SELECT template_id,
+                   CAST(count(*) OVER (PARTITION BY template_id)
+                        AS BIGINT) AS n_turns,
+                   min(n_nodes) OVER (PARTITION BY template_id) AS n_nodes,
+                   conv_id AS example_conv_id,
+                   turn_idx AS example_turn_idx,
+                   row_number() OVER (PARTITION BY template_id
+                                      ORDER BY conv_id, turn_idx) AS rn
+            FROM sig)
+        WHERE rn = 1
     """,
 }

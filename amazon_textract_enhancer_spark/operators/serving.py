@@ -543,3 +543,54 @@ def c5_search_fuzzy(
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(10)
     )
+
+
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_POOL = 20       # per-scorer candidate pool feeding the fusion
+
+
+def c5_search_hybrid_rrf(spark: SparkSession, sf_dir: str,
+                         k: int = 10) -> DataFrame:
+    """C5 tier (vii) — HYBRID retrieval via Reciprocal Rank Fusion
+    (Cormack et al., SIGIR 2009): fuse the BM25 and tf-idf ranked
+    lists with score = Σ 1/(RRF_K + rank), the standard way modern
+    search stacks combine lexical scorers (and, in production, a
+    lexical list with an ANN/vector list) without score calibration.
+
+    Plan shape: each scorer is its existing TakeOrderedAndProject
+    top-RRF_POOL (20 rows), so the fusion — rank assignment, full
+    outer join, RRF sum — runs over ≤2·RRF_POOL rows regardless of
+    corpus size; the single-partition rank windows are over a
+    20-row list, not the corpus. At 10^12 docs the inputs swap to the
+    committed-index scorers (c5_search_bm25_indexed) with identical
+    fusion semantics. Determinism: both input lists round scores to
+    4 dp before ranking with doc_id tie-breaks, ranks are ints, and
+    the RRF sum is two IEEE doubles — cross-engine exact — rounded
+    to 6 dp before the final ranking."""
+    from pyspark.sql import Window
+
+    bm = c5_search_bm25_topk(spark, sf_dir, k=RRF_POOL)
+    ti = text_tfidf_topk(spark, sf_dir, k=RRF_POOL)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("bm25_rank")
+    )
+    tir = ti.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("tfidf_rank")
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731 — twin mirrors this
+        1.0 / (F.lit(float(RRF_K)) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        bmr.join(tir, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "tfidf_rank",
+            F.round(
+                contrib("bm25_rank") + contrib("tfidf_rank"), 6
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,138 @@
+"""Semantics tests for the round-5 operator batch (beyond the DuckDB
+oracle parity that tests/test_oracle_parity.py already sweeps):
+C4-style corpus line dedup, DOM template census, hybrid RRF search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_line_dedup_survivorship(spark):
+    """Every distinct non-empty line survives exactly once corpus-wide,
+    and the survivor is the corpus-first occurrence."""
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        fixture_spans,
+        x_line_dedup,
+    )
+
+    out = x_line_dedup(spark, SF)
+    spans = fixture_spans(spark, SF)
+    lines = spans.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(
+            F.split(F.coalesce("extracted_text", F.lit("")), "\n")
+        ).alias("line_no", "line"),
+    ).filter(F.col("line") != "")
+    n_distinct = lines.select("line").distinct().count()
+    total_kept = out.agg(F.sum("n_kept")).first()[0]
+    assert total_kept == n_distinct
+
+    # a line duplicated across turns must appear exactly once in the
+    # union of cleaned texts, at its first occurrence
+    dup = (
+        lines.groupBy("line")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("w"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy(F.desc("n"), F.asc("line"))
+        .first()
+    )
+    if dup is not None:
+        cleaned_lines = out.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.split("cleaned_text", "\n")).alias("line"),
+        ).filter(F.col("line") == dup["line"])
+        hits = cleaned_lines.collect()
+        assert len(hits) == 1
+        assert (hits[0]["conv_id"], hits[0]["turn_idx"]) == (
+            dup["w"]["conv_id"],
+            dup["w"]["turn_idx"],
+        )
+
+    # row count preserved: one output row per input turn
+    assert out.count() == spans.count()
+
+
+def test_line_dedup_counts_bounded(spark):
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        x_line_dedup,
+    )
+
+    bad = (
+        x_line_dedup(spark, SF)
+        .filter(
+            (F.col("n_kept") < 0)
+            | (F.col("n_kept") > F.col("n_lines"))
+            | (F.col("n_lines") < 1)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_dom_template_census_partition(spark):
+    """Template census partitions the turns that have nodes: n_turns
+    sums to the distinct (conv, turn) count of the node table, and two
+    turns share a template_id iff their (depth, tag) sequences match."""
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        fixture_nodes,
+        x_dom_template_census,
+    )
+
+    census = x_dom_template_census(spark, SF)
+    nodes = fixture_nodes(spark, SF)
+    n_node_turns = nodes.select("conv_id", "turn_idx").distinct().count()
+    assert census.agg(F.sum("n_turns")).first()[0] == n_node_turns
+
+    # the example turn's node count must equal the template's n_nodes
+    ex = census.orderBy(F.desc("n_turns")).first()
+    n = (
+        nodes.filter(
+            (F.col("conv_id") == ex["example_conv_id"])
+            & (F.col("turn_idx") == ex["example_turn_idx"])
+        ).count()
+    )
+    assert n == ex["n_nodes"]
+    # boilerplate exists at the sf0.01 corpus size (the 8-conv sf0.001
+    # corpus has no two turns sharing a DOM skeleton): at least one
+    # template covers multiple turns
+    census_01 = x_dom_template_census(spark, "/root/testdata/sf0.01")
+    assert census_01.filter(F.col("n_turns") > 1).count() >= 1
+
+
+def test_hybrid_rrf_fusion_properties(spark):
+    """RRF output is consistent with its two input lists: ranks are
+    within the pool, scores equal the two-term reciprocal sum, and a
+    doc topping BOTH lists tops the fusion."""
+    from amazon_textract_enhancer_spark.operators.serving import (
+        RRF_K,
+        RRF_POOL,
+        c5_search_bm25_topk,
+        c5_search_hybrid_rrf,
+        text_tfidf_topk,
+    )
+
+    rows = c5_search_hybrid_rrf(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        for col in ("bm25_rank", "tfidf_rank"):
+            if r[col] is not None:
+                assert 1 <= r[col] <= RRF_POOL
+        expect = sum(
+            1.0 / (RRF_K + r[col])
+            for col in ("bm25_rank", "tfidf_rank")
+            if r[col] is not None
+        )
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+        assert r["bm25_rank"] is not None or r["tfidf_rank"] is not None
+
+    bm_top = c5_search_bm25_topk(spark, SF, k=1).first()["doc_id"]
+    ti_top = text_tfidf_topk(spark, SF, k=1).first()["doc_id"]
+    if bm_top == ti_top:
+        assert rows[0]["doc_id"] == bm_top
