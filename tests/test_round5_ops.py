@@ -136,3 +136,28 @@ def test_hybrid_rrf_fusion_properties(spark):
     ti_top = text_tfidf_topk(spark, SF, k=1).first()["doc_id"]
     if bm_top == ti_top:
         assert rows[0]["doc_id"] == bm_top
+
+
+def test_round5_plan_shapes(spark):
+    """The 100 TB shapes, asserted: line dedup and template census are
+    pure aggregations (NO corpus window — the skew-safe claim in their
+    docstrings) with a bounded exchange count; hybrid RRF's rank
+    windows sit above TakeOrderedAndProject pools so each is a
+    ≤RRF_POOL-row sort, and the pools themselves are top-k, not full
+    sorts."""
+    from amazon_textract_enhancer_spark.operators import registry
+    from amazon_textract_enhancer_spark.plans import (
+        executed_plan,
+        n_exchanges,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    for name in ("x_line_dedup", "x_dom_template_census"):
+        df = registry.SPARK_QUERIES[name](spark, sf)
+        plan = executed_plan(df)
+        assert "Window" not in plan, name
+        assert n_exchanges(df) <= 3, (name, plan)
+
+    rrf = registry.SPARK_QUERIES["c5_search_hybrid_rrf"](spark, sf)
+    plan = executed_plan(rrf)
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
