@@ -222,6 +222,8 @@ SPARK_QUERIES = {
     "c5_search_hybrid_rrf": serving.c5_search_hybrid_rrf,
     "x_line_dedup": xq.x_line_dedup,
     "x_dom_template_census": xq.x_dom_template_census,
+    "c5_search_hybrid_vector": serving.c5_search_hybrid_vector,
+    "text_zipf_fit": textstats.text_zipf_fit,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2712,5 +2714,104 @@ ORACLE_SQL = {
                                       ORDER BY conv_id, turn_idx) AS rn
             FROM sig)
         WHERE rn = 1
+    """,
+    # lexical+vector hybrid: the bm25 chain fused with the exact-
+    # cosine ANN list (testdata convention: vec_id=i embeds doc_id=i)
+    "c5_search_hybrid_vector": f"""
+        WITH dl AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        ), hits AS (
+            SELECT doc_id, term FROM (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            WHERE term IN ('spark', 'merge', 'window')
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2
+        ), dfx AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), idf AS (
+            SELECT term, avgdl,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfx, stats
+        ), bm AS (
+            SELECT tf.doc_id,
+                   round(SUM(idf.idf * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * dl.dl / idf.avgdl))), 4) AS score
+            FROM tf
+            JOIN idf ON idf.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id LIMIT {serving.RRF_POOL}
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), qv AS (SELECT v AS qv FROM e WHERE vec_id = 0
+        ), vec AS (
+            SELECT e.vec_id,
+                   round(list_dot_product(e.v, qv.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(qv.qv, qv.qv))), 6)
+                       AS cos_sim
+            FROM e, qv WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id LIMIT {serving.RRF_POOL}
+        ), bmr AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id) AS INT) AS bm25_rank
+            FROM bm
+        ), vr AS (
+            SELECT vec_id AS doc_id, CAST(row_number() OVER (
+                       ORDER BY cos_sim DESC, vec_id) AS INT) AS vec_rank
+            FROM vec
+        )
+        SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id,
+               bm25_rank, vec_rank,
+               round(coalesce(1.0 / ({serving.RRF_K} + bm25_rank), 0.0)
+                     + coalesce(1.0 / ({serving.RRF_K} + vec_rank), 0.0),
+                     6) AS rrf_score
+        FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    # Zipf fit: identical top-R census (freq DESC, term tie-break),
+    # identical round(ln,10) -> DECIMAL(18,10) exact sums (products
+    # exact in both engines at that width), identical double-space
+    # OLS formula rounded to 6 dp
+    "text_zipf_fit": f"""
+        WITH freq AS (
+            SELECT term, count(*) AS freq FROM (
+                SELECT unnest(list_filter({_TOK}, x -> x <> '')) AS term
+                FROM documents)
+            GROUP BY term ORDER BY freq DESC, term
+            LIMIT {textstats.ZIPF_TOP_R}
+        ), xy AS (
+            SELECT CAST(round(ln(CAST(row_number() OVER (
+                           ORDER BY freq DESC, term) AS DOUBLE)), 10)
+                        AS DECIMAL(18,10)) AS x,
+                   CAST(round(ln(CAST(freq AS DOUBLE)), 10)
+                        AS DECIMAL(18,10)) AS y
+            FROM freq
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy
+            FROM xy
+        )
+        SELECT n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS slope,
+               round((sy - ((n * sxy - sx * sy)
+                            / (n * sxx - sx * sx)) * sx) / n, 6)
+                   AS intercept,
+               round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS r2
+        FROM s
     """,
 }

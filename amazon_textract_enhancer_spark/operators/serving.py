@@ -594,3 +594,50 @@ def c5_search_hybrid_rrf(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def c5_search_hybrid_vector(spark: SparkSession, sf_dir: str,
+                            k: int = 10) -> DataFrame:
+    """C5 tier (viii) — LEXICAL + VECTOR hybrid retrieval, the
+    production shape of modern search: RRF-fuse the BM25 list with an
+    embedding-similarity list (exact cosine vs the vec_id=0 query
+    vector; testdata convention: embeddings row vec_id=i is document
+    doc_id=i's vector). Rank fusion needs no score calibration — the
+    BM25 scores and cosine similarities never mix, only their ranks do
+    — which is exactly why RRF is the default fusion in hybrid stacks.
+
+    Plan shape: identical to c5_search_hybrid_rrf — both inputs are
+    TakeOrderedAndProject top-RRF_POOL (the vector side swaps to the
+    IVF/LSH probed searchers at corpus scale; rank is rank), so the
+    fusion work is ≤2·RRF_POOL rows at any corpus size."""
+    from pyspark.sql import Window
+
+    from .similarity import ann_cosine_topk
+
+    bm = c5_search_bm25_topk(spark, sf_dir, k=RRF_POOL)
+    vec = ann_cosine_topk(spark, sf_dir, k=RRF_POOL)
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    wv = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wb).cast("int").alias("bm25_rank")
+    )
+    vr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).cast("int").alias("vec_rank"),
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731 — twin mirrors this
+        1.0 / (F.lit(float(RRF_K)) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        bmr.join(vr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "vec_rank",
+            F.round(
+                contrib("bm25_rank") + contrib("vec_rank"), 6
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )

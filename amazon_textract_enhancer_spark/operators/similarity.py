@@ -32,7 +32,8 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_cosine_topk(spark: SparkSession, sf_dir: str,
+                    k: int = TOP_K) -> DataFrame:
     """Exact brute-force cosine top-k vs the vec_id=0 query vector.
     The 1-row query side is broadcast; ranking is
     TakeOrderedAndProject (no full sort)."""
@@ -50,7 +51,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(TOP_K)
+        .limit(k)
     )
 
 

@@ -648,3 +648,74 @@ def sample_priority_weighted(
         .withColumn("rank_in_stratum", F.row_number().over(w).cast("int"))
         .filter(F.col("rank_in_stratum") <= k)
     )
+
+
+ZIPF_TOP_R = 100
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str,
+                  *, top_r: int = ZIPF_TOP_R) -> DataFrame:
+    """Corpus Zipf-law fit — the one-row diagnostic a data-quality
+    dashboard plots per snapshot: OLS slope/intercept of
+    ln(freq) ~ ln(rank) over the top-R terms (natural corpora slope
+    ≈ −1; a collapsing slope flags template flooding, a flattening one
+    flags synthetic/shuffled text). Emits n_terms, slope, intercept
+    and r2.
+
+    Plan shape: one token-count agg (the same shuffle every term
+    census pays), a TakeOrdered top-R — never a global sort — then the
+    regression runs over R rows: rank via a single R-row window, the
+    five OLS sums as DECIMAL aggregates over round(ln(·), 10) inputs
+    so both engines sum EXACTLY (order-independent) and the only
+    cross-engine hazard is the ln ulp itself (the text_lm_perplexity
+    precedent). Final stats round to 6 dp."""
+    from pyspark.sql.types import DecimalType
+
+    docs = t(spark, sf_dir, "documents")
+    terms = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
+    )
+    freq = (
+        docs.select(F.explode(terms).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(top_r)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    # DECIMAL(18,10): ln values fit in 8 integer digits, and the
+    # (18,10)x(18,10) products stay EXACT in both engines (Spark p=37
+    # <= 38 -- a (38,12) product would trip Spark's lossy scale
+    # reduction while DuckDB kept full precision)
+    dec = DecimalType(18, 10)
+    xy = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 10)
+        .cast(dec)
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 10)
+        .cast(dec)
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )

@@ -161,3 +161,43 @@ def test_round5_plan_shapes(spark):
     rrf = registry.SPARK_QUERIES["c5_search_hybrid_rrf"](spark, sf)
     plan = executed_plan(rrf)
     assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_hybrid_vector_fusion_properties(spark):
+    """Lexical+vector fusion: ranks within the pool, score equals the
+    two-term reciprocal sum, every row appears in at least one list."""
+    from amazon_textract_enhancer_spark.operators.serving import (
+        RRF_K,
+        RRF_POOL,
+        c5_search_hybrid_vector,
+    )
+
+    rows = c5_search_hybrid_vector(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r["bm25_rank"] is not None or r["vec_rank"] is not None
+        for col in ("bm25_rank", "vec_rank"):
+            if r[col] is not None:
+                assert 1 <= r[col] <= RRF_POOL
+        expect = sum(
+            1.0 / (RRF_K + r[col])
+            for col in ("bm25_rank", "vec_rank")
+            if r[col] is not None
+        )
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+
+
+def test_zipf_fit_shape(spark):
+    """One-row output; a Zipf-ish corpus has a negative slope and a
+    meaningful fit; n_terms is bounded by the census cap."""
+    from amazon_textract_enhancer_spark.operators.textstats import (
+        ZIPF_TOP_R,
+        text_zipf_fit,
+    )
+
+    rows = text_zipf_fit(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 1 < r["n_terms"] <= ZIPF_TOP_R
+    assert r["slope"] < 0
+    assert 0.0 <= r["r2"] <= 1.0
