@@ -878,6 +878,31 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _template_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, turn_idx, template_id, n_nodes) — the per-turn DOM
+    skeleton fingerprint: md5 of the node_id-ordered (depth:tag)
+    sequence (struct-sorted collect_list, the B4 ordered-aggregation
+    pattern). ONE groupBy over the conv_id-bucketed committed nodes
+    table; the 32-byte key is what every downstream template op
+    shuffles, never the node list."""
+    nodes = fixture_nodes(spark, sf_dir)
+    tok = F.concat_ws(
+        ":", F.col("depth").cast("string"), F.col("tag")
+    ).alias("t")
+    return nodes.groupBy("conv_id", "turn_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("node_id", tok))),
+                    lambda s: s["t"],
+                ),
+                "|",
+            )
+        ).alias("template_id"),
+        F.count(F.lit(1)).cast("int").alias("n_nodes"),
+    )
+
+
 def x_dom_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM TEMPLATE mining over the extracted node table: fingerprint
     every turn's DOM *skeleton* — the (depth, tag) sequence in document
@@ -898,22 +923,7 @@ def x_dom_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference nodes — so a green row pins the Spark DOM parse ==
     reference parse at STRUCTURE level, complementing
     x_nodes_density_relational's text-level pin."""
-    nodes = fixture_nodes(spark, sf_dir)
-    tok = F.concat_ws(
-        ":", F.col("depth").cast("string"), F.col("tag")
-    ).alias("t")
-    sig = nodes.groupBy("conv_id", "turn_idx").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("node_id", tok))),
-                    lambda s: s["t"],
-                ),
-                "|",
-            )
-        ).alias("template_id"),
-        F.count(F.lit(1)).cast("int").alias("n_nodes"),
-    )
+    sig = _template_signatures(spark, sf_dir)
     return (
         sig.groupBy("template_id")
         .agg(
@@ -927,5 +937,41 @@ def x_dom_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             F.col("ex.conv_id").alias("example_conv_id"),
             F.col("ex.turn_idx").alias("example_turn_idx"),
+        )
+    )
+
+def x_template_extraction_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TEMPLATE extraction QA — the census's consumer: for every
+    DOM template, how the extractor performed on the turns rendered
+    from it (total extracted characters, skip count, tables and KV
+    pairs recovered). This is how a crawl pipeline finds the template
+    whose turns suddenly extract to nothing after a site redesign —
+    per-turn metrics are too noisy, corpus-wide ones too coarse; the
+    template is the natural QA unit.
+
+    Plan shape: the per-turn signature agg (32-byte keys) equi-joins
+    extracted_spans on (conv_id, turn_idx) — BOTH sides are bucketed
+    by conv_id, so at 10^12 turns the join is co-located — then one
+    template-keyed agg whose metrics are all EXACT integers (no
+    floating aggregation anywhere, so cross-engine hashing is
+    trivially stable). Twin composes the same chain over the
+    pure-Python reference nodes + spans, pinning parse AND extraction
+    per template."""
+    sig = _template_signatures(spark, sf_dir)
+    spans = fixture_spans(spark, sf_dir)
+    joined = sig.join(spans, ["conv_id", "turn_idx"])
+    return (
+        joined.groupBy("template_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(
+                F.length(F.coalesce("extracted_text", F.lit("")))
+            ).cast("long").alias("sum_chars"),
+            F.sum(
+                F.col("counters.skipped").cast("int")
+            ).cast("long").alias("n_skipped"),
+            F.sum("counters.tables_reconstructed")
+            .cast("long").alias("n_tables"),
+            F.sum("counters.kv_pairs").cast("long").alias("n_kv"),
         )
     )

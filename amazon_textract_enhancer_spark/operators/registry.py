@@ -224,6 +224,7 @@ SPARK_QUERIES = {
     "x_dom_template_census": xq.x_dom_template_census,
     "c5_search_hybrid_vector": serving.c5_search_hybrid_vector,
     "text_zipf_fit": textstats.text_zipf_fit,
+    "x_template_extraction_qa": xq.x_template_extraction_qa,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2813,5 +2814,29 @@ ORACLE_SQL = {
                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                    AS r2
         FROM s
+    """,
+    # per-template extraction QA: the census signature chain joined to
+    # the reference spans — all metrics exact integers, so the twin
+    # pins parse AND extraction per template with no rounding contract
+    "x_template_extraction_qa": f"""
+        WITH sig AS (
+            SELECT conv_id, turn_idx,
+                   md5(string_agg(depth || ':' || tag, '|'
+                                  ORDER BY node_id)) AS template_id
+            FROM read_parquet('{_xcache_path(_XN_SF001, "nodes")}')
+            GROUP BY 1, 2
+        )
+        SELECT template_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(length(coalesce(s.extracted_text, '')))
+                    AS BIGINT) AS sum_chars,
+               CAST(sum(CASE WHEN s.counters.skipped THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_skipped,
+               CAST(sum(s.counters.tables_reconstructed) AS BIGINT)
+                   AS n_tables,
+               CAST(sum(s.counters.kv_pairs) AS BIGINT) AS n_kv
+        FROM sig
+        JOIN read_parquet('{_XSPANS}') s USING (conv_id, turn_idx)
+        GROUP BY template_id
     """,
 }

