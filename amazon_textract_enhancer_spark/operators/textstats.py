@@ -668,9 +668,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str,
     five OLS sums as DECIMAL aggregates over round(ln(·), 10) inputs
     so both engines sum EXACTLY (order-independent) and the only
     cross-engine hazard is the ln ulp itself (the text_lm_perplexity
-    precedent). Final stats round to 6 dp."""
+    precedent). Final stats round to 6 dp. Degenerate corpora (one
+    term, or every frequency equal) zero a variance; BOTH engines
+    return NULL for float division by zero, so the stats null out
+    identically rather than diverging (verified against DuckDB)."""
     from pyspark.sql.types import DecimalType
 
+    if top_r < 2:
+        raise ValueError(f"text_zipf_fit needs top_r >= 2, got {top_r}")
     docs = t(spark, sf_dir, "documents")
     terms = F.filter(
         F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""

@@ -245,7 +245,10 @@ def main() -> None:
                    "c5_search_fuzzy", "sketch_percentile_approx",
                    "dedup_minhash_portable", "dedup_simhash_portable",
                    "sample_priority_weighted", "ann_lsh_portable",
-                   "x_query_answers")
+                   "x_query_answers", "c5_search_hybrid_rrf",
+                   "x_line_dedup", "x_dom_template_census",
+                   "c5_search_hybrid_vector", "text_zipf_fit",
+                   "x_template_extraction_qa")
     extra, sprs, bests = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})
