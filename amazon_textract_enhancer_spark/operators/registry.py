@@ -225,6 +225,8 @@ SPARK_QUERIES = {
     "c5_search_hybrid_vector": serving.c5_search_hybrid_vector,
     "text_zipf_fit": textstats.text_zipf_fit,
     "x_template_extraction_qa": xq.x_template_extraction_qa,
+    "embed_pq_error": similarity.embed_pq_error,
+    "ann_pq_adc": similarity.ann_pq_adc,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -303,6 +305,98 @@ _KMEANS_CTES = """
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY d, cent_id) AS rn
                 FROM df
+            ) WHERE rn = 1
+        )
+"""
+
+# shared CTE chain for the product-quantization twins (embed_pq_error
+# ★ / ann_pq_adc ★): M=4 subspaces × K=4 codes, 2 unrolled Lloyd
+# rounds per subspace — the _KMEANS_CTES recurrence with the subspace
+# id as an extra grouping key, every distance/centroid 6dp-rounded so
+# both engines take identical argmin decisions. Ends at the FINAL
+# per-(vec, subspace) code assignment `af(vec_id, s, code, d)`;
+# consumers append their own closing SELECT (or `, ...` CTEs).
+_PQ_CTES = """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), ms AS (
+            SELECT unnest(generate_series(0, 3)) AS s
+        ), subs AS (
+            SELECT vec_id, s,
+                   list_slice(v, s * (len(v) // 4) + 1,
+                              (s + 1) * (len(v) // 4)) AS sv
+            FROM e CROSS JOIN ms
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cent_id, v
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+        ), c0 AS (
+            SELECT s, cent_id,
+                   list_slice(v, s * (len(v) // 4) + 1,
+                              (s + 1) * (len(v) // 4)) AS cv
+            FROM seeds CROSS JOIN ms
+        ), d1 AS (
+            SELECT a.vec_id, a.s, c.cent_id,
+                   round(list_sum([(a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i])
+                                   for i in generate_series(1, len(a.sv))]),
+                         6) AS d
+            FROM subs a JOIN c0 c ON a.s = c.s
+        ), a1 AS (
+            SELECT vec_id, s, cent_id AS cluster FROM (
+                SELECT vec_id, s, cent_id,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, cent_id) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ), m1 AS (
+            SELECT s, cluster, dim, round(avg(x), 6) AS m
+            FROM (
+                SELECT a1.s, a1.cluster,
+                       unnest(generate_series(1, len(subs.sv))) AS dim,
+                       unnest(subs.sv) AS x
+                FROM a1 JOIN subs ON a1.vec_id = subs.vec_id
+                                  AND a1.s = subs.s
+            ) GROUP BY s, cluster, dim
+        ), c1 AS (
+            SELECT s, cluster AS cent_id, list(m ORDER BY dim) AS cv
+            FROM m1 GROUP BY s, cluster
+        ), d2 AS (
+            SELECT a.vec_id, a.s, c.cent_id,
+                   round(list_sum([(a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i])
+                                   for i in generate_series(1, len(a.sv))]),
+                         6) AS d
+            FROM subs a JOIN c1 c ON a.s = c.s
+        ), a2 AS (
+            SELECT vec_id, s, cent_id AS cluster FROM (
+                SELECT vec_id, s, cent_id,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, cent_id) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ), m2 AS (
+            SELECT s, cluster, dim, round(avg(x), 6) AS m
+            FROM (
+                SELECT a2.s, a2.cluster,
+                       unnest(generate_series(1, len(subs.sv))) AS dim,
+                       unnest(subs.sv) AS x
+                FROM a2 JOIN subs ON a2.vec_id = subs.vec_id
+                                  AND a2.s = subs.s
+            ) GROUP BY s, cluster, dim
+        ), c2 AS (
+            SELECT s, cluster AS cent_id, list(m ORDER BY dim) AS cv
+            FROM m2 GROUP BY s, cluster
+        ), dfin AS (
+            SELECT a.vec_id, a.s, c.cent_id,
+                   round(list_sum([(a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i])
+                                   for i in generate_series(1, len(a.sv))]),
+                         6) AS d
+            FROM subs a JOIN c2 c ON a.s = c.s
+        ), af AS (
+            SELECT vec_id, s, cent_id AS code, d FROM (
+                SELECT vec_id, s, cent_id, d,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, cent_id) AS rn
+                FROM dfin
             ) WHERE rn = 1
         )
 """
@@ -2838,5 +2932,34 @@ ORACLE_SQL = {
         FROM sig
         JOIN read_parquet('{_XSPANS}') s USING (conv_id, turn_idx)
         GROUP BY template_id
+    """,
+    "embed_pq_error": _PQ_CTES + """
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS avg_dist,
+               CAST(max(dist) AS DOUBLE) AS max_dist
+        FROM (
+            SELECT vec_id, SUM(CAST(d AS DECIMAL(18,6))) AS dist
+            FROM af GROUP BY vec_id
+        )
+    """,
+    "ann_pq_adc": _PQ_CTES + """
+        , q AS (
+            SELECT s, list_slice(v, s * (len(v) // 4) + 1,
+                                 (s + 1) * (len(v) // 4)) AS qsv
+            FROM e CROSS JOIN ms WHERE vec_id = 0
+        ), lut AS (
+            SELECT c.s, c.cent_id,
+                   round(list_sum([(q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i])
+                                   for i in generate_series(1, len(q.qsv))]),
+                         6) AS d
+            FROM c2 c JOIN q ON c.s = q.s
+        )
+        SELECT af.vec_id,
+               CAST(SUM(CAST(lut.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_d
+        FROM af JOIN lut ON af.s = lut.s AND af.code = lut.cent_id
+        WHERE af.vec_id <> 0
+        GROUP BY af.vec_id
+        ORDER BY adc_d, vec_id
+        LIMIT 10
     """,
 }

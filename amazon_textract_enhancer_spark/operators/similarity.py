@@ -1057,3 +1057,243 @@ def ann_lsh_portable(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ── Product quantization (the compression half of FAISS-style IVF-PQ) ──
+#
+# At 10^12 vectors the raw float corpus is ~0.25 PB at d=64; PQ codes
+# at M=4 subspaces × K=4..256 codes are M bytes per vector — a 64×
+# shrink that turns the re-ranking candidate scan into a byte-table
+# scan with an M×K lookup table per query (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"). The codebooks
+# are tiny (M·K·(d/M) floats) and train on a sample at scale; encode
+# is a ZERO-SHUFFLE map (broadcast codebook, in-row argmin), and ADC
+# search is a map + TakeOrdered — no shuffle touches the corpus.
+PQ_M = 4       # subspaces (d/M dims each)
+PQ_K = 4       # codes per subspace (twin-unrolled like KMEANS_K)
+PQ_ITERS = 2   # unrolled Lloyd rounds (the embed_kmeans twin shape)
+
+
+def _pq_sub_slice(v: Column, s: int, m_sub: int) -> Column:
+    """Subvector ``s`` of ``v``: the ds = len(v)/m_sub dims starting
+    at s*ds (0-based). Pure expression — no Python per row."""
+    ds = (F.size(v) / m_sub).cast("int")
+    return F.slice(v, F.lit(s) * ds + 1, ds)
+
+
+def pq_train_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    m_sub: int = PQ_M,
+    k: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Per-subspace codebooks (s, cent_id, cv) via the pinned-Lloyd
+    discipline of ``embed_kmeans`` (init = the k smallest vec_ids'
+    subvectors; 6dp-rounded distances pin every argmin; means
+    re-rounded to 6dp) — ALL subspaces train in ONE plan, the
+    subspace id is just another grouping key. Per iteration: one
+    M·k-row broadcast, map-side min_by argmin, one (s, cluster,
+    dim)-keyed mean agg. At 10^12 rows codebooks train on a committed
+    sample (standard PQ practice — the codebook is a d/M-dim
+    quantizer, not a corpus statistic); the full-corpus form here
+    keeps the DuckDB twin exact."""
+    from pyspark.sql import Window
+
+    emb = _emb_double(spark, sf_dir)
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    _pq_sub_slice(F.col("v"), s, m_sub).alias("v"),
+                )
+                for s in range(m_sub)
+            ])
+        ).alias("e"),
+    ).select("vec_id", "e.s", "e.v")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cent_id"),
+            "v",
+        )
+    )
+    cents = seeds.select(
+        "cent_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    _pq_sub_slice(F.col("v"), s, m_sub).alias("cv"),
+                )
+                for s in range(m_sub)
+            ])
+        ).alias("e"),
+    ).select("e.s", "cent_id", "e.cv")
+    for _ in range(n_iters):
+        assigned = (
+            sub.join(F.broadcast(cents), "s")
+            .groupBy("vec_id", "s")
+            .agg(
+                F.first("v").alias("v"),
+                F.min_by(
+                    "cent_id",
+                    F.struct(_round_dist().alias("d"),
+                             F.col("cent_id").alias("c")),
+                ).alias("cluster"),
+            )
+        )
+        cents = (
+            assigned.select("s", "cluster",
+                            F.posexplode("v").alias("dim", "x"))
+            .groupBy("s", "cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("mu"))
+            .groupBy("s", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu")))
+                 .alias("a"))
+            .select(
+                "s",
+                F.col("cluster").alias("cent_id"),
+                F.transform("a", lambda st: st["mu"]).alias("cv"),
+            )
+        )
+    return cents
+
+
+def _pq_codebook_row(cents: DataFrame) -> DataFrame:
+    """Collapse (s, cent_id, cv) into ONE row
+    ``codebook: array<array<array<double>>>`` (subspace → code →
+    centroid) so encode/search broadcast it and stay shuffle-free.
+    M·K·(d/M) doubles — kilobytes at any corpus size."""
+    per_s = (
+        cents.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv")))
+             .alias("a"))
+        .select("s", F.transform("a", lambda x: x["cv"]).alias("cvs"))
+    )
+    return (
+        per_s.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("s", "cvs"))).alias("b"))
+        .select(F.transform("b", lambda x: x["cvs"]).alias("codebook"))
+    )
+
+
+def _pq_sub_dists(vcol: str, s: int, m_sub: int) -> Column:
+    """array of 6dp-rounded squared distances from subvector ``s`` of
+    row column ``vcol`` to every code centroid of subspace ``s`` (the
+    row carries the broadcast ``codebook``)."""
+    sv = _pq_sub_slice(F.col(vcol), s, m_sub)
+    return F.transform(
+        F.element_at("codebook", s + 1),
+        lambda cv: F.round(
+            F.aggregate(
+                F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+
+
+def _decimal_chain(terms: list[Column]) -> Column:
+    """Fixed-order exact sum: each term cast DECIMAL(18,6), added in
+    subspace order with a width-pinning re-cast — order-independent
+    and ulp-free in BOTH engines (the text_zipf_fit discipline)."""
+    total = terms[0].cast("decimal(18,6)")
+    for x in terms[1:]:
+        total = (total + x.cast("decimal(18,6)")).cast("decimal(18,6)")
+    return total
+
+
+def embed_pq_error(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    m_sub: int = PQ_M,
+    k: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ quantization-distortion audit (★): per-vector squared
+    reconstruction error = Σ_s min-code distance of subvector s —
+    the number that decides whether a codebook is good enough to ship
+    (the int8 audit ``embed_quantize_error``'s PQ sibling). Encode is
+    in-row (broadcast codebook crossJoin, per-subspace argmin by
+    6dp-rounded distance), per-vector totals are fixed-order
+    DECIMAL(18,6) chains, corpus stats one 1-row agg — after codebook
+    training, NOTHING shuffles on the corpus."""
+    emb = _emb_double(spark, sf_dir)
+    cents = pq_train_codebooks(spark, sf_dir, m_sub=m_sub, k=k,
+                               n_iters=n_iters)
+    rows = emb.crossJoin(F.broadcast(_pq_codebook_row(cents)))
+    per_vec = rows.select(
+        "vec_id",
+        _decimal_chain(
+            [F.array_min(_pq_sub_dists("v", s, m_sub))
+             for s in range(m_sub)]
+        ).alias("dist"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("dist").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_dist"),
+        F.max("dist").cast("double").alias("max_dist"),
+    )
+
+
+def ann_pq_adc(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k_top: int = TOP_K,
+    m_sub: int = PQ_M,
+    k: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (★): the query builds an M×K
+    lookup table ONCE (distances from its subvectors to every code
+    centroid — a 1-row broadcast), each candidate row folds its M
+    codes through the table (fixed-order DECIMAL chain), and ranking
+    is TakeOrderedAndProject. Per-candidate work is M table lookups —
+    independent of d; the corpus never shuffles. Production form
+    scans a COMMITTED codes table (M bytes/vector — the 64× shrink)
+    inside IVF partitions (``ann_ivf_topk`` generates candidates, PQ
+    ranks them: IVF-PQ); here encode happens in-plan so the twin
+    replays the whole chain."""
+    emb = _emb_double(spark, sf_dir)
+    cents = pq_train_codebooks(spark, sf_dir, m_sub=m_sub, k=k,
+                               n_iters=n_iters)
+    cb = _pq_codebook_row(cents)
+    lut = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.array(*[_pq_sub_dists("qv", s, m_sub)
+                      for s in range(m_sub)]).alias("lut")
+        )
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(lut))
+    )
+    terms = []
+    for s in range(m_sub):
+        ds_ = _pq_sub_dists("v", s, m_sub)
+        pos = F.array_position(ds_, F.array_min(ds_)).cast("int")
+        terms.append(F.element_at(F.element_at("lut", s + 1), pos))
+    return (
+        cand.select(
+            "vec_id", _decimal_chain(terms).cast("double").alias("adc_d")
+        )
+        .orderBy(F.asc("adc_d"), F.asc("vec_id"))
+        .limit(k_top)
+    )

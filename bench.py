@@ -248,7 +248,8 @@ def main() -> None:
                    "x_query_answers", "c5_search_hybrid_rrf",
                    "x_line_dedup", "x_dom_template_census",
                    "c5_search_hybrid_vector", "text_zipf_fit",
-                   "x_template_extraction_qa")
+                   "x_template_extraction_qa", "embed_pq_error",
+                   "ann_pq_adc")
     extra, sprs, bests = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})
