@@ -227,6 +227,7 @@ SPARK_QUERIES = {
     "x_template_extraction_qa": xq.x_template_extraction_qa,
     "embed_pq_error": similarity.embed_pq_error,
     "ann_pq_adc": similarity.ann_pq_adc,
+    "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,  # ✂ committed index
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"

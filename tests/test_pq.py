@@ -116,3 +116,64 @@ def test_adc_plan_shapes(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def _ivf_pq_fresh(spark):
+    import shutil
+
+    wh = S.ivf_warehouse_for(SF_DIR) + "-pq"
+    shutil.rmtree(wh, ignore_errors=True)
+    emb = S.t(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return wh, emb
+
+
+def test_ivf_pq_recall_gate(spark):
+    """IVF-PQ end-to-end: probed ADC shortlist + exact re-rank must
+    reach recall@10 >= 0.8 vs exact brute-force cosine at the default
+    nprobe=6/8, M=8 bytes/vector, shortlist=100 (measured 1.0)."""
+    wh, emb = _ivf_pq_fresh(spark)
+    S.ivf_pq_build_index(spark, emb, wh)
+    exact = {r.vec_id for r in S.ann_cosine_topk(spark, SF_DIR).collect()}
+    got = S.ivf_pq_search(spark, wh).collect()
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    recall = len(exact & {r.vec_id for r in got}) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_pq_codes_table_shape_and_resume(spark):
+    """The committed codes table: one M-byte row per indexed vector,
+    every code in [0, K), hive-partitioned by bucket; a second build
+    over the same snapshot is a no-op (resume)."""
+    from amazon_textract_enhancer_spark.sources.tableio import TableIO
+
+    wh, emb = _ivf_pq_fresh(spark)
+    m1 = S.ivf_pq_build_index(spark, emb, wh)
+    assert m1["partition_by"] == "bucket"
+    m2 = S.ivf_pq_build_index(spark, emb, wh)
+    assert m2["committed_at_unix"] == m1["committed_at_unix"]
+
+    io = TableIO(wh)
+    codes = io.read_table(spark, "ivf_pq_codes")
+    idx = io.read_table(spark, "ivf_index")
+    assert codes.count() == idx.count()
+    bad = codes.filter(
+        (F.size("codes") != S.IVF_PQ_M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= S.IVF_PQ_K_CODES))
+    ).count()
+    assert bad == 0
+
+
+def test_ivf_pq_search_probes_prune_partitions(spark):
+    """Probed search must reach the CODES scan as a partition filter
+    (dynamic pruning on the hive partition column) — at 10^12 rows
+    this is the difference between reading nprobe/N of the code bytes
+    and reading all of them."""
+    wh = S.ivf_warehouse_for(SF_DIR) + "-pq"  # committed above
+    df = S.ivf_pq_search(spark, wh, nprobe=2, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ("dynamicpruning" in plan.lower()
+            or "PartitionFilters: [isnotnull(bucket" in plan), plan
+    assert len(df.collect()) == 5
