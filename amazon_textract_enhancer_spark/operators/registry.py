@@ -80,7 +80,13 @@ SPARK_QUERIES = {
     "b15_semi_join_referenced": rel.b15_semi_join_referenced,
     "b13_window_reading_order": rel.b13_window_reading_order,
     "d3_window_neighbor_smoothing": rel.d3_window_neighbor_smoothing,
-    "embed_kmeans": similarity.embed_kmeans,
+    # r5 rotation: the PQ ADC chain enters the window — codebook
+    # training (the embed_kmeans pinned-Lloyd recurrence, re-run per
+    # subspace), in-row encode, LUT build, and ADC ranking all sit
+    # under this one ★ row. embed_kmeans moves below the boundary
+    # (stays ★ in the pytest sweep; its trajectory is additionally
+    # replayed inside the dedup_semantic ★p twin).
+    "ann_pq_adc": similarity.ann_pq_adc,
     "a2_distinct_idempotency": rel.a2_distinct_idempotency,
     # -- §2.E heavy generic ops (unique plan shapes)
     "agg_rollup_lang_source": rel.agg_rollup_lang_source,
@@ -226,8 +232,9 @@ SPARK_QUERIES = {
     "text_zipf_fit": textstats.text_zipf_fit,
     "x_template_extraction_qa": xq.x_template_extraction_qa,
     "embed_pq_error": similarity.embed_pq_error,
-    "ann_pq_adc": similarity.ann_pq_adc,
+    "embed_kmeans": similarity.embed_kmeans,
     "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,  # ✂ committed index
+    "c2_keyset_page": serving.c2_keyset_page,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2942,6 +2949,16 @@ ORACLE_SQL = {
             SELECT vec_id, SUM(CAST(d AS DECIMAL(18,6))) AS dist
             FROM af GROUP BY vec_id
         )
+    """,
+    "c2_keyset_page": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE (ts > TIMESTAMP '2024-01-15 00:00:00'
+               OR (ts = TIMESTAMP '2024-01-15 00:00:00'
+                   AND event_id > 5000))
+          AND event_type <> 'error'
+        ORDER BY ts, event_id
+        LIMIT 20
     """,
     "ann_pq_adc": _PQ_CTES + """
         , q AS (

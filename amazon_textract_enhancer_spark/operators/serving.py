@@ -641,3 +641,30 @@ def c5_search_hybrid_vector(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def c2_keyset_page(spark: SparkSession, sf_dir: str,
+                   page_size: int = 20) -> DataFrame:
+    """C2 tier — KEYSET pagination (★): the ES ``search_after`` /
+    DynamoDB ``ExclusiveStartKey`` analog. Deep pagination by OFFSET
+    re-ranks everything before the page (OFFSET 10^9 reads 10^9 rows
+    at any engine); keyset pagination turns "the page after cursor
+    (ts₀, id₀)" into a range predicate on the unique sort key
+    (ts, event_id), so the scan PRUNES to rows past the cursor
+    (PushedFilters on ts — at production scale, partition/file-stats
+    pruning on the sort-ordered table) and the page itself is
+    TakeOrderedAndProject. The cursor is the previous page's last
+    (ts, event_id) — here a pinned literal so the twin replays the
+    identical page."""
+    ev = t(spark, sf_dir, "events")
+    c_ts = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    c_id = F.lit(5000)
+    after = (F.col("ts") > c_ts) | (
+        (F.col("ts") == c_ts) & (F.col("event_id") > c_id)
+    )
+    return (
+        ev.filter(after & (F.col("event_type") != "error"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(page_size)
+    )

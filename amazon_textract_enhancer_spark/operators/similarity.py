@@ -1402,10 +1402,28 @@ def ivf_pq_search(
     from ..sources.tableio import TableIO
 
     io = TableIO(warehouse)
-    idx = io.read_table(spark, "ivf_index")
-    cents_ivf = io.read_table(spark, "ivf_centroids")
-    codes = io.read_table(spark, "ivf_pq_codes")
-    cb = _pq_codebook_row(io.read_table(spark, "pq_codebook"))
+    return _ivf_pq_search_kernel(
+        io.read_table(spark, "ivf_index"),
+        io.read_table(spark, "ivf_centroids"),
+        io.read_table(spark, "ivf_pq_codes"),
+        _pq_codebook_row(io.read_table(spark, "pq_codebook")),
+        query_vec_id, nprobe, k, shortlist, m_sub,
+    )
+
+
+def _ivf_pq_search_kernel(
+    idx: DataFrame,
+    cents_ivf: DataFrame,
+    codes: DataFrame,
+    cb: DataFrame,
+    query_vec_id: int,
+    nprobe: int,
+    k: int,
+    shortlist: int,
+    m_sub: int,
+) -> DataFrame:
+    """Shared probe+ADC+re-rank kernel over any (index, codes) view —
+    main-only or main+delta merged."""
     q = idx.filter(F.col("vec_id") == query_vec_id).select(
         F.col("uv").alias("qv")
     )
@@ -1461,3 +1479,94 @@ def ann_ivf_pq_topk(
     wh = ivf_warehouse_for(sf_dir)
     ivf_pq_build_index(spark, emb, wh)
     return ivf_pq_search(spark, wh, nprobe=nprobe, k=k, shortlist=shortlist)
+
+
+IVF_PQ_DELTA_CFG = "ivfpq-delta-v1"
+
+
+def ivf_pq_refresh(
+    spark: SparkSession,
+    warehouse: str,
+    new_emb: DataFrame,
+    input_snapshot: str,
+    *,
+    stale_vec_ids: DataFrame | None = None,
+    m_sub: int = IVF_PQ_M,
+) -> dict:
+    """Main+delta refresh of the committed IVF-PQ index: the float
+    side delegates to ``ivf_index_refresh`` (frozen centroids, stale
+    union discipline), then the SAME new/changed vectors are encoded
+    with the FROZEN committed codebook (a quantizer is a model
+    artifact — re-training it would re-code the whole corpus) and
+    appended to an accumulating ``ivf_pq_codes_delta`` segment,
+    bucket-partitioned like main. The stale mask is shared with the
+    float index (``ivf_stale_vecs``) — one list masks both tables.
+    Cost per refresh ∝ delta size; main codes are never rewritten
+    (compaction = ``ivf_compact`` + re-encode fold, same cadence)."""
+    from ..sources.tableio import TableIO
+
+    io = TableIO(warehouse)
+    m = ivf_index_refresh(spark, warehouse, new_emb, input_snapshot,
+                          stale_vec_ids=stale_vec_ids)
+    cents = io.read_table(spark, "ivf_centroids")
+    assigned = _assign_buckets(_unit_vectors(new_emb), cents)
+    cb = _pq_codebook_row(io.read_table(spark, "pq_codebook"))
+    new_codes = (
+        assigned.select("vec_id", "bucket", F.col("uv").alias("v"))
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", "bucket", _pq_codes_expr("v", m_sub).alias("codes"))
+    )
+    new_stale = new_emb.select("vec_id")
+    if stale_vec_ids is not None:
+        new_stale = new_stale.unionByName(stale_vec_ids.select("vec_id"))
+    new_stale = new_stale.distinct()
+    prev = io.read_manifest("ivf_pq_codes_delta")
+    if prev is not None and prev["rows"] > 0:
+        prev_delta = io.read_table(spark, "ivf_pq_codes_delta").join(
+            F.broadcast(new_stale), "vec_id", "left_anti"
+        )
+        new_codes = prev_delta.unionByName(new_codes)
+    m_delta = io.commit_stage(
+        new_codes, "ivf_pq_codes_delta", input_snapshot, IVF_PQ_DELTA_CFG,
+        partition_by="bucket",
+    )
+    return {**m, "ivf_pq_codes_delta": m_delta}
+
+
+def read_ivf_pq_codes_merged(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Query-time codes view: main minus the shared stale list
+    (broadcast anti-join — main is never rewritten), plus the delta
+    segment."""
+    from ..sources.tableio import TableIO
+
+    io = TableIO(warehouse)
+    if io.read_manifest("ivf_pq_codes_delta") is None:
+        return io.read_table(spark, "ivf_pq_codes")
+    delta = io.read_table(spark, "ivf_pq_codes_delta")
+    main = io.read_table(spark, "ivf_pq_codes")
+    stale = io.read_table(spark, "ivf_stale_vecs")
+    return main.join(F.broadcast(stale), "vec_id", "left_anti").unionByName(delta)
+
+
+def ivf_pq_search_merged(
+    spark: SparkSession,
+    warehouse: str,
+    *,
+    query_vec_id: int = QUERY_VEC_ID,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOP_K,
+    shortlist: int = IVF_PQ_SHORTLIST,
+    m_sub: int = IVF_PQ_M,
+) -> DataFrame:
+    """IVF-PQ probed search over the merged (main+delta) views —
+    identical ranking semantics to ``ivf_pq_search``, refresh-aware."""
+    from ..sources.tableio import TableIO
+
+    io = TableIO(warehouse)
+    return _ivf_pq_search_kernel(
+        read_ivf_index_merged(spark, warehouse),
+        io.read_table(spark, "ivf_centroids"),
+        read_ivf_pq_codes_merged(spark, warehouse),
+        _pq_codebook_row(io.read_table(spark, "pq_codebook")),
+        query_vec_id, nprobe, k, shortlist, m_sub,
+    )

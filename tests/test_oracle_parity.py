@@ -154,7 +154,7 @@ def test_driver_evidence_window_is_pinned():
         "b4_ordered_text_assembly", "b5_two_level_ordered_concat",
         "b6_grid_pivot_fixed", "b7_anti_join_swallowed",
         "b15_semi_join_referenced", "b13_window_reading_order",
-        "d3_window_neighbor_smoothing", "embed_kmeans",
+        "d3_window_neighbor_smoothing", "ann_pq_adc",
         "a2_distinct_idempotency", "agg_rollup_lang_source",
         "sessionize_events", "asof_join_last_click",
         "percentile_exact_values", "c1_point_lookup",

@@ -177,3 +177,64 @@ def test_ivf_pq_search_probes_prune_partitions(spark):
     assert ("dynamicpruning" in plan.lower()
             or "PartitionFilters: [isnotnull(bucket" in plan), plan
     assert len(df.collect()) == 5
+
+
+def test_ivf_pq_refresh_merge_supersede_delete_and_equivalence(spark):
+    """Frozen-codebook delta maintenance: after adds + a change + a
+    delete, (1) the merged codes view has exactly one row per live
+    vec_id; (2) merged codes == frozen-codebook encode of the full
+    current corpus under frozen centroids (the from-scratch oracle);
+    (3) merged search sees the new vectors and not the deleted one."""
+    import shutil
+
+    from amazon_textract_enhancer_spark.sources.tableio import TableIO
+
+    wh = S.ivf_warehouse_for(SF_DIR) + "-pqr"  # own warehouse: no
+    shutil.rmtree(wh, ignore_errors=True)      # cross-test state
+    emb = S.t(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    S.ivf_pq_build_index(spark, emb, wh)
+    io = TableIO(wh)
+
+    # adds: two new vectors near the query vector; change: vec 42
+    # re-embedded; delete: vec 99
+    q = emb.filter(F.col("vec_id") == S.QUERY_VEC_ID).select("v")
+    qv = q.collect()[0].v
+    new_rows = [
+        (9001, [x * 1.01 for x in qv]),
+        (9002, [x * 0.99 for x in qv]),
+        (42, [-x for x in qv]),
+    ]
+    new_emb = spark.createDataFrame(new_rows, "vec_id long, v array<double>")
+    stale = spark.createDataFrame([(99,)], "vec_id long")
+    S.ivf_pq_refresh(spark, wh, new_emb, "snap-r1", stale_vec_ids=stale)
+
+    merged = S.read_ivf_pq_codes_merged(spark, wh)
+    ids = [r.vec_id for r in merged.select("vec_id").collect()]
+    assert len(ids) == len(set(ids))
+    assert 99 not in ids and 9001 in ids and 9002 in ids
+
+    # from-scratch oracle: frozen centroids + frozen codebook over the
+    # full current corpus must reproduce the merged view exactly
+    current = (
+        emb.filter(~F.col("vec_id").isin(42, 99)).unionByName(new_emb)
+    )
+    cents = io.read_table(spark, "ivf_centroids")
+    cb = S._pq_codebook_row(io.read_table(spark, "pq_codebook"))
+    oracle = (
+        S._assign_buckets(S._unit_vectors(current), cents)
+        .select("vec_id", "bucket", F.col("uv").alias("v"))
+        .crossJoin(F.broadcast(cb))
+        .select("vec_id", "bucket",
+                S._pq_codes_expr("v", S.IVF_PQ_M).alias("codes"))
+    )
+    got = {(r.vec_id, r.bucket, tuple(r.codes)) for r in merged.collect()}
+    want = {(r.vec_id, r.bucket, tuple(r.codes)) for r in oracle.collect()}
+    assert got == want
+
+    res = S.ivf_pq_search_merged(spark, wh, k=10).collect()
+    got_ids = {r.vec_id for r in res}
+    # the two near-duplicates of the query must rank into the top-10;
+    # the deleted vector must be gone
+    assert {9001, 9002} <= got_ids and 99 not in got_ids
