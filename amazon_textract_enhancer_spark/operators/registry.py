@@ -1960,20 +1960,19 @@ ORACLE_SQL = {
     # k-means trajectory; drop rule = exists smaller-id neighbour with
     # 6dp-rounded cosine >= 0.45 (keep-first, deterministic)
     "dedup_semantic": _KMEANS_CTES + """
-        , prs AS (
+        , un AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS uv
+            FROM e
+        ), prs AS (
             SELECT b.vec_id AS vec_id, b.cluster AS cluster,
                    a.vec_id AS keep_id,
-                   round(list_sum([ea.v[i] * eb.v[i]
-                                   for i in generate_series(1, len(ea.v))])
-                         / (sqrt(list_sum([ea.v[i] * ea.v[i]
-                                 for i in generate_series(1, len(ea.v))]))
-                            * sqrt(list_sum([eb.v[i] * eb.v[i]
-                                 for i in generate_series(1, len(eb.v))]))),
-                         6) AS cos
+                   round(list_dot_product(ua.uv, ub.uv), 6) AS cos
             FROM af a
             JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-            JOIN e ea ON ea.vec_id = a.vec_id
-            JOIN e eb ON eb.vec_id = b.vec_id
+            JOIN un ua ON ua.vec_id = a.vec_id
+            JOIN un ub ON ub.vec_id = b.vec_id
         )
         SELECT vec_id, cluster,
                min(keep_id) AS duplicate_of,

@@ -236,3 +236,14 @@ def test_dedup_shingle_stream_has_no_pre_aggregation_distinct(spark):
             r"|(?:shingle|sh)#\d+L?, doc_id#\d+L?)\], functions=\[\]", p
         ), p
     assert "ReusedExchange" in pj or pj.count("Scan parquet") <= 1, pj
+
+
+def test_dedup_semantic_pairs_are_vectorized_cogroup(spark):
+    """r5: the within-cluster pair stage is the same cogrouped NumPy
+    block multiply as ann_pairs_threshold (the expression-level HOF
+    pair join it replaced cost 192 interpreted element-ops per pair —
+    11.5s at sf0.1 vs ~2s vectorized); no cartesian anywhere."""
+    df = _q(spark, "dedup_semantic")
+    plan = executed_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan
