@@ -975,3 +975,82 @@ def x_template_extraction_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("counters.kv_pairs").cast("long").alias("n_kv"),
         )
     )
+
+
+def x_tool_pagerank(spark: SparkSession, sf_dir: str,
+                    *, damping: float = 0.85,
+                    n_iters: int = 2) -> DataFrame:
+    """Tool-transition PAGERANK (★) — workflow-mining centrality over
+    the x_tool_call_graph edges: which tools does agent traffic flow
+    INTO, weighted by how often their predecessors run. Damped
+    weighted PageRank, ``n_iters`` rounds unrolled into the plan from
+    a uniform start (the embed_kmeans fixed-budget discipline applied
+    to a link-analysis recurrence). Dangling-node mass is dropped
+    (ranks sum < 1) — the diagnostic RANKING is unchanged and the twin
+    stays closed-form; the redistribution variant adds one 1-row agg
+    per round.
+
+    Cross-engine exactness: per-edge contributions round to 10dp and
+    sum as DECIMAL(18,10) (order-independent in both engines — the
+    text_zipf_fit discipline), each round's rank re-rounds to 6dp, so
+    every trajectory value is pinned.
+
+    Scale shape: the graph is |tools|² at most (tools are a catalog,
+    not a corpus) — every join here is broadcast-sized; the one
+    corpus-scale stage is the edge census itself, which is
+    x_tool_call_graph's window over the conv_id-bucketed table."""
+    from pyspark.sql import Window
+
+    tdf = fixture_transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    edges = (
+        tdf.select(
+            F.col("tool").alias("tool_from"),
+            F.lead("tool").over(w).alias("tool_to"),
+        )
+        .filter(F.col("tool_to").isNotNull())
+        .groupBy("tool_from", "tool_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    nodes = (
+        edges.select(F.col("tool_from").alias("tool"))
+        .unionByName(edges.select(F.col("tool_to").alias("tool")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    outw = edges.groupBy("tool_from").agg(F.sum("n").alias("outw"))
+    pr = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select("tool", F.round(F.lit(1.0) / F.col("n_nodes"), 6).alias("pr"))
+    )
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(F.broadcast(pr),
+                       edges.tool_from == pr.tool, "inner")
+            .join(F.broadcast(outw), "tool_from")
+            .select(
+                F.col("tool_to").alias("tool_c"),
+                F.round(
+                    F.col("pr") * F.col("n") / F.col("outw"), 10
+                ).cast("decimal(18,10)").alias("c"),
+            )
+            .groupBy("tool_c")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .join(F.broadcast(contrib),
+                  F.col("tool") == F.col("tool_c"), "left")
+            .select(
+                "tool",
+                F.round(
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return pr.join(F.broadcast(outw),
+                   pr.tool == outw.tool_from, "left").select(
+        "tool", "pr", F.coalesce(F.col("outw"), F.lit(0)).alias("out_weight")
+    )

@@ -235,6 +235,7 @@ SPARK_QUERIES = {
     "embed_kmeans": similarity.embed_kmeans,
     "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,  # ✂ committed index
     "c2_keyset_page": serving.c2_keyset_page,
+    "x_tool_pagerank": xq.x_tool_pagerank,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -2939,6 +2940,66 @@ ORACLE_SQL = {
         FROM sig
         JOIN read_parquet('{_XSPANS}') s USING (conv_id, turn_idx)
         GROUP BY template_id
+    """,
+    "x_tool_pagerank": f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx, tool,
+                   lead(tool) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS tool_to
+            FROM read_parquet('{_XTRANS}')
+            WHERE tool IS NOT NULL
+        ), e AS (
+            SELECT tool AS tool_from, tool_to,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE tool_to IS NOT NULL
+            GROUP BY 1, 2
+        ), nodes AS (
+            SELECT tool_from AS tool FROM e
+            UNION
+            SELECT tool_to FROM e
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes
+        ), ow AS (
+            SELECT tool_from, CAST(sum(n) AS BIGINT) AS outw
+            FROM e GROUP BY 1
+        ), p0 AS (
+            SELECT tool,
+                   round(1.0::DOUBLE / (SELECT n_nodes FROM nn), 6) AS pr
+            FROM nodes
+        ), c1 AS (
+            SELECT e.tool_to AS tool,
+                   CAST(sum(CAST(round(p.pr * e.n / ow.outw, 10)
+                                 AS DECIMAL(18,10))) AS DOUBLE) AS s
+            FROM e
+            JOIN p0 p ON e.tool_from = p.tool
+            JOIN ow ON e.tool_from = ow.tool_from
+            GROUP BY 1
+        ), p1 AS (
+            SELECT n.tool,
+                   round((1.0::DOUBLE - 0.85::DOUBLE)
+                             / (SELECT n_nodes FROM nn)
+                         + 0.85::DOUBLE * coalesce(c1.s, 0.0::DOUBLE),
+                         6) AS pr
+            FROM nodes n LEFT JOIN c1 ON n.tool = c1.tool
+        ), c2 AS (
+            SELECT e.tool_to AS tool,
+                   CAST(sum(CAST(round(p.pr * e.n / ow.outw, 10)
+                                 AS DECIMAL(18,10))) AS DOUBLE) AS s
+            FROM e
+            JOIN p1 p ON e.tool_from = p.tool
+            JOIN ow ON e.tool_from = ow.tool_from
+            GROUP BY 1
+        ), p2 AS (
+            SELECT n.tool,
+                   round((1.0::DOUBLE - 0.85::DOUBLE)
+                             / (SELECT n_nodes FROM nn)
+                         + 0.85::DOUBLE * coalesce(c2.s, 0.0::DOUBLE),
+                         6) AS pr
+            FROM nodes n LEFT JOIN c2 ON n.tool = c2.tool
+        )
+        SELECT p2.tool, p2.pr,
+               coalesce(ow.outw, 0) AS out_weight
+        FROM p2 LEFT JOIN ow ON p2.tool = ow.tool_from
     """,
     "embed_pq_error": _PQ_CTES + """
         SELECT CAST(count(*) AS BIGINT) AS n_vecs,

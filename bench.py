@@ -249,7 +249,8 @@ def main() -> None:
                    "x_line_dedup", "x_dom_template_census",
                    "c5_search_hybrid_vector", "text_zipf_fit",
                    "x_template_extraction_qa", "embed_pq_error",
-                   "ann_pq_adc", "ann_ivf_pq_topk")
+                   "ann_pq_adc", "ann_ivf_pq_topk", "c2_keyset_page",
+                   "x_tool_pagerank")
     extra, sprs, bests = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})

@@ -235,3 +235,20 @@ def test_template_qa_consistency(spark):
         spans.agg(F.sum("counters.tables_reconstructed")).first()[0]
     )
     assert html_tables is not None
+
+
+def test_tool_pagerank_invariants(spark):
+    """x_tool_pagerank: one row per tool, every rank in (0, 1), total
+    mass <= 1 (dangling mass dropped, teleport preserved), repeat run
+    identical (the trajectory is pinned)."""
+    from amazon_textract_enhancer_spark.operators.extraction_queries import (
+        x_tool_pagerank,
+    )
+
+    rows = x_tool_pagerank(spark, SF).collect()
+    tools = [r.tool for r in rows]
+    assert len(tools) == len(set(tools)) and len(tools) >= 2
+    assert all(0 < r.pr < 1 for r in rows)
+    assert sum(r.pr for r in rows) <= 1.0 + 1e-9
+    again = sorted((r.tool, r.pr) for r in x_tool_pagerank(spark, SF).collect())
+    assert sorted((r.tool, r.pr) for r in rows) == again
