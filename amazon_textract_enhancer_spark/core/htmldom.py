@@ -376,7 +376,11 @@ def _fast_nodes(s: str) -> list[dict] | None:
                             "n_chars": 0,
                             "n_link_chars": 0,
                             "block_id": pblock,
-                            "in_dropped": pdropped or tag in drop_tags,
+                            # handle_startendtag emits the PARENT's
+                            # dropped flag only — a self-closing drop
+                            # tag has no children to drop (stdlib
+                            # reference semantics; r5 review fix)
+                            "in_dropped": pdropped,
                             "in_table": ptable,
                         }
                     )
@@ -464,7 +468,7 @@ def _fast_nodes(s: str) -> list[dict] | None:
                             "n_chars": 0,
                             "n_link_chars": 0,
                             "block_id": pblock,
-                            "in_dropped": pdropped or tag in drop_tags,
+                            "in_dropped": pdropped,
                             "in_table": ptable,
                         }
                     )

@@ -999,18 +999,12 @@ def x_tool_pagerank(spark: SparkSession, sf_dir: str,
     not a corpus) — every join here is broadcast-sized; the one
     corpus-scale stage is the edge census itself, which is
     x_tool_call_graph's window over the conv_id-bucketed table."""
-    from pyspark.sql import Window
-
-    tdf = fixture_transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    edges = (
-        tdf.select(
-            F.col("tool").alias("tool_from"),
-            F.lead("tool").over(w).alias("tool_to"),
-        )
-        .filter(F.col("tool_to").isNotNull())
-        .groupBy("tool_from", "tool_to")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # one source of truth for the edge table: the census operator
+    # itself (r5 review — a re-derived lead window here could silently
+    # diverge from the census it claims to rank if the transition
+    # definition ever changes)
+    edges = x_tool_call_graph(spark, sf_dir).select(
+        "tool_from", "tool_to", F.col("n_transitions").alias("n")
     )
     nodes = (
         edges.select(F.col("tool_from").alias("tool"))

@@ -59,6 +59,37 @@ PAIR_THRESHOLD = 0.45
 N_PAIR_BLOCKS = 8
 
 
+def _block_pair_cosines(l, r, id_l: str, id_r: str, v_l: str, v_r: str,
+                        thresh: float, same_block: bool):
+    """Shared numeric core of the cogrouped block-matrix pair kernels
+    (ann_pairs_threshold, dedup_semantic): row-normalize both blocks,
+    BLAS-multiply, pre-filter at ``thresh`` minus a 1e-6 slack, and
+    emit (min_id, max_id, RAW cosine) arrays. Rounding and the exact
+    threshold compare happen ENGINE-SIDE (F.round = HALF_UP, the mode
+    DuckDB's round() uses — r5 review: np.round is half-to-even, a
+    cross-engine divergence lying in wait at a 5e-7 boundary). The
+    slack only bounds the emitted candidate set; it admits every pair
+    the exact compare could keep."""
+    import numpy as np
+
+    if len(l) == 0 or len(r) == 0:
+        return None
+    ids_l = l[id_l].to_numpy(dtype=np.int64)
+    ids_r = r[id_r].to_numpy(dtype=np.int64)
+    L = np.stack(l[v_l].to_numpy())
+    R = np.stack(r[v_r].to_numpy())
+    L = L / np.linalg.norm(L, axis=1, keepdims=True)
+    R = R / np.linalg.norm(R, axis=1, keepdims=True)
+    S = L @ R.T
+    mask = S >= thresh - 1e-6
+    if same_block:
+        # same block on both sides: keep one orientation per pair
+        mask &= ids_l[:, None] < ids_r[None, :]
+    li, rj = np.nonzero(mask)
+    a, b = ids_l[li], ids_r[rj]
+    return np.minimum(a, b), np.maximum(a, b), S[li, rj]
+
+
 def ann_pairs_threshold(
     spark: SparkSession, sf_dir: str, *, n_blocks: int = N_PAIR_BLOCKS
 ) -> DataFrame:
@@ -110,34 +141,24 @@ def ann_pairs_threshold(
 
     def multiply(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
-        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                              "vec_b": pd.Series(dtype="int64"),
-                              "cos_sim": pd.Series(dtype="float64")})
-        if len(l) == 0 or len(r) == 0:
-            return empty
-        ids_l = l["vec_id"].to_numpy(dtype=np.int64)
-        ids_r = r["vec_id"].to_numpy(dtype=np.int64)
-        L = np.stack(l["v"].to_numpy())
-        R = np.stack(r["v"].to_numpy())
-        L = L / np.linalg.norm(L, axis=1, keepdims=True)
-        R = R / np.linalg.norm(R, axis=1, keepdims=True)
-        S = np.round(L @ R.T, 6)
-        mask = S >= PAIR_THRESHOLD
-        if bi == bj:
-            # same block on both sides: keep one orientation per pair
-            mask &= ids_l[:, None] < ids_r[None, :]
-        li, rj = np.nonzero(mask)
-        a, b = ids_l[li], ids_r[rj]
-        return pd.DataFrame({
-            "vec_a": np.minimum(a, b),
-            "vec_b": np.maximum(a, b),
-            "cos_sim": S[li, rj],
-        })
+        out = _block_pair_cosines(l, r, "vec_id", "vec_id", "v", "v",
+                                  PAIR_THRESHOLD, bi == bj)
+        if out is None:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cos_raw": pd.Series(dtype="float64")})
+        a, b, sims = out
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_raw": sims})
 
-    return (
+    pairs = (
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))
-        .applyInPandas(multiply, "vec_a bigint, vec_b bigint, cos_sim double")
+        .applyInPandas(multiply, "vec_a bigint, vec_b bigint, cos_raw double")
+    )
+    return (
+        pairs.select("vec_a", "vec_b",
+                     F.round("cos_raw", 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(PAIR_THRESHOLD))
     )
 
 
@@ -838,37 +859,31 @@ def dedup_semantic(
 
     def multiply(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         _cluster, bi, bj = key
-        empty = pd.DataFrame({"cluster": pd.Series(dtype="int32"),
-                              "keep_id": pd.Series(dtype="int64"),
-                              "vec_id": pd.Series(dtype="int64"),
-                              "cos": pd.Series(dtype="float64")})
-        if len(l) == 0 or len(r) == 0:
-            return empty
-        ids_l = l["vec_id"].to_numpy(dtype=np.int64)
-        ids_r = r["vid_r"].to_numpy(dtype=np.int64)
-        L = np.stack(l["v"].to_numpy())
-        R = np.stack(r["v_r"].to_numpy())
-        L = L / np.linalg.norm(L, axis=1, keepdims=True)
-        R = R / np.linalg.norm(R, axis=1, keepdims=True)
-        S = np.round(L @ R.T, 6)
-        mask = S >= tau
-        if bi == bj:
-            mask &= ids_l[:, None] < ids_r[None, :]
-        li, rj = np.nonzero(mask)
-        a, b = ids_l[li], ids_r[rj]
+        out = _block_pair_cosines(l, r, "vec_id", "vid_r", "v", "v_r",
+                                  tau, bi == bj)
+        if out is None:
+            return pd.DataFrame({"cluster": pd.Series(dtype="int32"),
+                                 "keep_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "cos_raw": pd.Series(dtype="float64")})
+        a, b, sims = out
         return pd.DataFrame({
             "cluster": np.full(len(a), _cluster, dtype="int32"),
-            "keep_id": np.minimum(a, b),
-            "vec_id": np.maximum(a, b),
-            "cos": S[li, rj],
+            "keep_id": a,
+            "vec_id": b,
+            "cos_raw": sims,
         })
 
     pairs = (
         left.groupBy("cluster", "bi", "bj")
         .cogroup(right.groupBy("cluster", "bi", "bj"))
         .applyInPandas(
-            multiply, "cluster int, keep_id long, vec_id long, cos double"
+            multiply,
+            "cluster int, keep_id long, vec_id long, cos_raw double",
         )
+        .select("cluster", "keep_id", "vec_id",
+                F.round("cos_raw", 6).alias("cos"))
+        .filter(F.col("cos") >= F.lit(tau))
     )
     return pairs.groupBy("vec_id", "cluster").agg(
         F.min("keep_id").alias("duplicate_of"),
@@ -1125,8 +1140,12 @@ PQ_ITERS = 2   # unrolled Lloyd rounds (the embed_kmeans twin shape)
 
 
 def _pq_sub_slice(v: Column, s: int, m_sub: int) -> Column:
-    """Subvector ``s`` of ``v``: the ds = len(v)/m_sub dims starting
-    at s*ds (0-based). Pure expression — no Python per row."""
+    """Subvector ``s`` of ``v``: the ds = floor(len(v)/m_sub) dims
+    starting at s*ds (0-based). Pure expression — no Python per row.
+    If m_sub does not divide d the trailing d mod m_sub dims are
+    EXCLUDED from quantization — identically in the DuckDB twin
+    (len//m_sub), so the choice is consistent, not a divergence; pick
+    m_sub | d to quantize every dimension."""
     ds = (F.size(v) / m_sub).cast("int")
     return F.slice(v, F.lit(s) * ds + 1, ds)
 
@@ -1162,9 +1181,18 @@ def _pq_train_codebooks_df(
     n_iters: int = PQ_ITERS,
 ) -> DataFrame:
     """DataFrame-input form of ``pq_train_codebooks`` (the IVF-PQ
-    build trains on the committed index's unit vectors)."""
+    build trains on the committed index's unit vectors). Guards the
+    parameters HERE so every caller — registry wrapper, IVF-PQ build,
+    refresh — is covered (r5 review: a wrapper-only guard let
+    ivf_pq_build_index(m_sub=0) commit an empty codebook that failed
+    far away, as an IndexError inside the ADC fold)."""
     from pyspark.sql import Window
 
+    if m_sub < 1 or k < 1 or n_iters < 1:
+        raise ValueError(
+            f"PQ codebook training needs m_sub/k/n_iters >= 1, got "
+            f"{m_sub}/{k}/{n_iters}"
+        )
     sub = emb.select(
         "vec_id",
         F.explode(
@@ -1415,6 +1443,16 @@ def ivf_pq_build_index(
             io.is_committed("ivf_pq_codes", input_snapshot, cfg):
         return io.read_manifest("ivf_pq_codes")
     idx = io.read_table(spark, "ivf_index")
+    # committed-layout validation (one metadata-cheap 1-row job — the
+    # build path commits tables, so it is not collect-free anyway):
+    # m_sub must divide d, else ds=0 slices quantize nothing while the
+    # committed index LOOKS healthy (r5 review)
+    d = idx.agg(F.min(F.size("uv")).alias("d")).collect()[0]["d"]
+    if d is None or m_sub > d or d % m_sub != 0:
+        raise ValueError(
+            f"ivf_pq_build_index: m_sub={m_sub} must divide the "
+            f"embedding dim (d={d})"
+        )
     cents = _pq_train_codebooks_df(
         idx.select("vec_id", F.col("uv").alias("v")),
         m_sub=m_sub, k=k_codes, n_iters=pq_iters,

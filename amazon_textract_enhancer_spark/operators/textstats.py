@@ -548,8 +548,20 @@ def documents_total_grams(spark, sf_dir: str, k: int = HH_NGRAM_K) -> int:
     never recomputed per query. The gram census uses the SAME split
     as both heavy-hitter passes (``split(lower(text), TOKEN_PATTERN)``
     keeping empties), so the bound it feeds is over exactly the
-    multiset the MG summary sees."""
-    key = (sf_dir, k)
+    multiset the MG summary sees. The memo key includes the parquet
+    file's mtime/size, so a regenerated or appended documents table
+    invalidates the cached N (r5 review: a forever-memo could feed the
+    MG guard a stale N, reintroducing the silent under-report the
+    check exists to make loud)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None  # non-local source: fall back to path-only key
+    key = (sf_dir, k, stamp)
     if key not in _TOTAL_GRAMS_CACHE:
         L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
         row = (

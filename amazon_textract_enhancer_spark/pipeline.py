@@ -73,7 +73,10 @@ def run_extraction_pipeline(
     ``n_buckets`` tasks — set it to at least the cluster's task-slot
     count (any bucketed table needs that for write parallelism anyway;
     the old exchange-above form had the identical cap on its write
-    stage). At production scale the bucket count is a table-spec
+    stage). ``run_pipeline.py`` defaults it to
+    ``max(16, defaultParallelism)`` and exposes ``--n-buckets`` (r5
+    review: the fixed 16 silently halved extraction parallelism at
+    local[32]). At production scale the bucket count is a table-spec
     constant in the thousands, far above any single stage's slot
     count."""
     run_set = set(stages) if stages is not None else set(STAGES)

@@ -35,6 +35,7 @@ def main() -> None:
     mode = "extract" if "--mode=extract" in sys.argv else "full"
     stages = None
     retain_snapshots = 0
+    n_buckets = None
     for a in sys.argv:
         if a.startswith("--stages="):
             stages = a.split("=", 1)[1].split(",")
@@ -42,6 +43,13 @@ def main() -> None:
         # readable (time travel / rollback, the Iceberg history knob)
         if a.startswith("--retain-snapshots="):
             retain_snapshots = int(a.split("=", 1)[1])
+        # --n-buckets=N: the bucketed-table layout constant. With the
+        # exchange below extraction, the extraction stage runs on
+        # exactly n_buckets tasks — it must be >= the cluster's task
+        # slots or slots idle (r5 review: the old fixed 16 halved
+        # extraction parallelism at local[32]).
+        if a.startswith("--n-buckets="):
+            n_buckets = int(a.split("=", 1)[1])
     if fresh:
         shutil.rmtree(warehouse, ignore_errors=True)
 
@@ -75,6 +83,10 @@ def main() -> None:
         manifests = run_extraction_pipeline(
             spark, transcripts, warehouse, stages=stages,
             retain_snapshots=retain_snapshots,
+            # default: never below the slot count (a resumed warehouse
+            # keeps whatever layout its manifests committed)
+            n_buckets=n_buckets if n_buckets is not None
+            else max(16, n_cores),
         )
         wall = time.monotonic() - t0
         stage_seconds = manifests.pop("_stage_seconds", {})

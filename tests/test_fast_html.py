@@ -89,6 +89,12 @@ ZOO = [
     "",
     "   ",
     "\n\t",
+    # self-closing DROP_TAGS: handle_startendtag emits the PARENT's
+    # dropped flag only (r5 review: the fast path OR'd the tag's own
+    # membership in, diverging from the stdlib reference)
+    "<div><script/><p>hello</p></div>",
+    "<nav/><p>x</p>",
+    "<div><iframe/>text</div><style/>",
 ]
 
 BAIL_ZOO = [

@@ -147,7 +147,12 @@ def test_registry_form_checks_the_mg_bound_from_corpus_stats(spark):
         .collect()[0]["n"]
     )
     assert n == brute and n > 0
-    assert _TOTAL_GRAMS_CACHE[(sf, HH_NGRAM_K)] == n  # memoized
+    # memoized under an (sf_dir, k, file-stamp) key — r5 review: the
+    # stamp invalidates the memo if the table is regenerated in place
+    memo_keys = [key for key in _TOTAL_GRAMS_CACHE
+                 if key[0] == sf and key[1] == HH_NGRAM_K]
+    assert len(memo_keys) == 1
+    assert _TOTAL_GRAMS_CACHE[memo_keys[0]] == n
     # the ★ query itself runs green with the guard armed
     assert text_heavy_hitters(spark, sf).count() >= 0
     # and the guard actually fires when the bound is violated

@@ -238,3 +238,19 @@ def test_ivf_pq_refresh_merge_supersede_delete_and_equivalence(spark):
     # the two near-duplicates of the query must rank into the top-10;
     # the deleted vector must be gone
     assert {9001, 9002} <= got_ids and 99 not in got_ids
+
+
+def test_pq_param_guards(spark):
+    """Bad parameters fail LOUDLY at the call site, not downstream
+    (r5 review): m_sub/k/n_iters < 1 raise in the shared trainer
+    (covering the IVF-PQ build path too), and a non-divisible m_sub is
+    rejected by the build before any codebook commits."""
+    import pytest
+
+    with pytest.raises(ValueError, match="m_sub/k/n_iters"):
+        S.pq_train_codebooks(spark, SF_DIR, m_sub=0)
+    wh, emb = _ivf_pq_fresh(spark)
+    with pytest.raises(ValueError, match="must divide"):
+        S.ivf_pq_build_index(spark, emb, wh, m_sub=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError, match="m_sub/k/n_iters"):
+        S.ivf_pq_build_index(spark, emb, wh, k_codes=0)
