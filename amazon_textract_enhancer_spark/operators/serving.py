@@ -549,6 +549,30 @@ RRF_K = 60          # the standard reciprocal-rank-fusion constant
 RRF_POOL = 20       # per-scorer candidate pool feeding the fusion
 
 
+def _rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+              rank_a: str, rank_b: str, k: int) -> DataFrame:
+    """The ONE fusion kernel both hybrid tiers share (r5 review: a
+    duplicated block would let RRF_K / rounding / tie-break semantics
+    silently fork between endpoints — and each has a DuckDB twin that
+    must stay in lockstep). Inputs are (doc_id, <rank>) lists of
+    ≤RRF_POOL rows; a doc missing from one list contributes 0 for it
+    (the coalesce — full-outer join leaves the absent rank null)."""
+    contrib = lambda r: F.coalesce(  # noqa: E731 — twin mirrors this
+        1.0 / (F.lit(float(RRF_K)) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        ranked_a.join(ranked_b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            rank_a,
+            rank_b,
+            F.round(contrib(rank_a) + contrib(rank_b), 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def c5_search_hybrid_rrf(spark: SparkSession, sf_dir: str,
                          k: int = 10) -> DataFrame:
     """C5 tier (vii) — HYBRID retrieval via Reciprocal Rank Fusion
@@ -578,22 +602,7 @@ def c5_search_hybrid_rrf(spark: SparkSession, sf_dir: str,
     tir = ti.select(
         "doc_id", F.row_number().over(w).cast("int").alias("tfidf_rank")
     )
-    contrib = lambda r: F.coalesce(  # noqa: E731 — twin mirrors this
-        1.0 / (F.lit(float(RRF_K)) + F.col(r)), F.lit(0.0)
-    )
-    return (
-        bmr.join(tir, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            "bm25_rank",
-            "tfidf_rank",
-            F.round(
-                contrib("bm25_rank") + contrib("tfidf_rank"), 6
-            ).alias("rrf_score"),
-        )
-        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return _rrf_fuse(bmr, tir, "bm25_rank", "tfidf_rank", k)
 
 
 def c5_search_hybrid_vector(spark: SparkSession, sf_dir: str,
@@ -625,22 +634,7 @@ def c5_search_hybrid_vector(spark: SparkSession, sf_dir: str,
         F.col("vec_id").alias("doc_id"),
         F.row_number().over(wv).cast("int").alias("vec_rank"),
     )
-    contrib = lambda r: F.coalesce(  # noqa: E731 — twin mirrors this
-        1.0 / (F.lit(float(RRF_K)) + F.col(r)), F.lit(0.0)
-    )
-    return (
-        bmr.join(vr, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            "bm25_rank",
-            "vec_rank",
-            F.round(
-                contrib("bm25_rank") + contrib("vec_rank"), 6
-            ).alias("rrf_score"),
-        )
-        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return _rrf_fuse(bmr, vr, "bm25_rank", "vec_rank", k)
 
 
 def c2_keyset_page(spark: SparkSession, sf_dir: str,

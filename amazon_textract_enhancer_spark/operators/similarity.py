@@ -1275,6 +1275,20 @@ def _pq_codebook_row(cents: DataFrame) -> DataFrame:
     )
 
 
+def _pq_m_of(cents: DataFrame) -> int:
+    """Number of PQ subspaces recorded in a committed codebook table
+    (rows are (s, cent_id, cv); the table is M·K rows — kilobytes, so
+    the 1-row agg is metadata-cheap). Search/refresh DERIVE m_sub from
+    here instead of trusting a caller parameter: a caller-supplied
+    m_sub larger than the committed one would make element_at on the
+    codebook return null, every ADC distance null, and NULLS-FIRST
+    ordering would silently serve an arbitrary shortlist (r5 review)."""
+    m = cents.agg((F.max("s") + 1).alias("m")).collect()[0]["m"]
+    if m is None or m < 1:
+        raise ValueError("committed pq_codebook is empty — build first")
+    return int(m)
+
+
 def _pq_sub_dists(vcol: str, s: int, m_sub: int) -> Column:
     """array of 6dp-rounded squared distances from subvector ``s`` of
     row column ``vcol`` to every code centroid of subspace ``s`` (the
@@ -1476,7 +1490,6 @@ def ivf_pq_search(
     nprobe: int = IVF_NPROBE,
     k: int = TOP_K,
     shortlist: int = IVF_PQ_SHORTLIST,
-    m_sub: int = IVF_PQ_M,
 ) -> DataFrame:
     """✂ IVF-PQ probed search: probe choice as in ``ivf_search``
     (broadcast 1-row query × tiny centroid table), then the CODES
@@ -1490,12 +1503,13 @@ def ivf_pq_search(
     from ..sources.tableio import TableIO
 
     io = TableIO(warehouse)
+    cents_pq = io.read_table(spark, "pq_codebook")
     return _ivf_pq_search_kernel(
         io.read_table(spark, "ivf_index"),
         io.read_table(spark, "ivf_centroids"),
         io.read_table(spark, "ivf_pq_codes"),
-        _pq_codebook_row(io.read_table(spark, "pq_codebook")),
-        query_vec_id, nprobe, k, shortlist, m_sub,
+        _pq_codebook_row(cents_pq),
+        query_vec_id, nprobe, k, shortlist, _pq_m_of(cents_pq),
     )
 
 
@@ -1579,7 +1593,6 @@ def ivf_pq_refresh(
     input_snapshot: str,
     *,
     stale_vec_ids: DataFrame | None = None,
-    m_sub: int = IVF_PQ_M,
 ) -> dict:
     """Main+delta refresh of the committed IVF-PQ index: the float
     side delegates to ``ivf_index_refresh`` (frozen centroids, stale
@@ -1598,7 +1611,11 @@ def ivf_pq_refresh(
                           stale_vec_ids=stale_vec_ids)
     cents = io.read_table(spark, "ivf_centroids")
     assigned = _assign_buckets(_unit_vectors(new_emb), cents)
-    cb = _pq_codebook_row(io.read_table(spark, "pq_codebook"))
+    cents_pq = io.read_table(spark, "pq_codebook")
+    cb = _pq_codebook_row(cents_pq)
+    # encode with the COMMITTED subspace count — a caller-supplied
+    # m_sub could append wrong-length code rows into the merged view
+    m_sub = _pq_m_of(cents_pq)
     new_codes = (
         assigned.select("vec_id", "bucket", F.col("uv").alias("v"))
         .crossJoin(F.broadcast(cb))
@@ -1644,17 +1661,17 @@ def ivf_pq_search_merged(
     nprobe: int = IVF_NPROBE,
     k: int = TOP_K,
     shortlist: int = IVF_PQ_SHORTLIST,
-    m_sub: int = IVF_PQ_M,
 ) -> DataFrame:
     """IVF-PQ probed search over the merged (main+delta) views —
     identical ranking semantics to ``ivf_pq_search``, refresh-aware."""
     from ..sources.tableio import TableIO
 
     io = TableIO(warehouse)
+    cents_pq = io.read_table(spark, "pq_codebook")
     return _ivf_pq_search_kernel(
         read_ivf_index_merged(spark, warehouse),
         io.read_table(spark, "ivf_centroids"),
         read_ivf_pq_codes_merged(spark, warehouse),
-        _pq_codebook_row(io.read_table(spark, "pq_codebook")),
-        query_vec_id, nprobe, k, shortlist, m_sub,
+        _pq_codebook_row(cents_pq),
+        query_vec_id, nprobe, k, shortlist, _pq_m_of(cents_pq),
     )

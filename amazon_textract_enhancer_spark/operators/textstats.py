@@ -536,7 +536,7 @@ def heavy_hitters(
     )
 
 
-_TOTAL_GRAMS_CACHE: dict[tuple[str, int], int] = {}
+_TOTAL_GRAMS_CACHE: dict[tuple[str, int], tuple[tuple[int, int], int]] = {}
 
 
 def documents_total_grams(spark, sf_dir: str, k: int = HH_NGRAM_K) -> int:
@@ -548,11 +548,15 @@ def documents_total_grams(spark, sf_dir: str, k: int = HH_NGRAM_K) -> int:
     never recomputed per query. The gram census uses the SAME split
     as both heavy-hitter passes (``split(lower(text), TOKEN_PATTERN)``
     keeping empties), so the bound it feeds is over exactly the
-    multiset the MG summary sees. The memo key includes the parquet
-    file's mtime/size, so a regenerated or appended documents table
-    invalidates the cached N (r5 review: a forever-memo could feed the
-    MG guard a stale N, reintroducing the silent under-report the
-    check exists to make loud)."""
+    multiset the MG summary sees. The memo stores ONE (stamp, n) entry
+    per (sf_dir, k), validated against the parquet file's current
+    mtime/size — a regenerated or appended documents table misses and
+    recomputes, and superseded stamps are overwritten rather than
+    accumulated (r5 review: a forever-memo could feed the MG guard a
+    stale N, reintroducing the silent under-report the check exists
+    to make loud). When the source cannot be stat'd (non-local), the
+    count is NOT memoized at all: correctness of the MG bound beats
+    saving one corpus-stats job."""
     import os
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -560,18 +564,22 @@ def documents_total_grams(spark, sf_dir: str, k: int = HH_NGRAM_K) -> int:
         st = os.stat(path)
         stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
-        stamp = None  # non-local source: fall back to path-only key
-    key = (sf_dir, k, stamp)
-    if key not in _TOTAL_GRAMS_CACHE:
-        L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
-        row = (
-            t(spark, sf_dir, "documents")
-            .select(F.greatest(F.size(L) - (k - 1), F.lit(0)).alias("g"))
-            .agg(F.sum("g").cast("long").alias("n"))
-            .collect()[0]
-        )
-        _TOTAL_GRAMS_CACHE[key] = int(row["n"] or 0)
-    return _TOTAL_GRAMS_CACHE[key]
+        stamp = None  # non-local source: never cache (see docstring)
+    key = (sf_dir, k)
+    hit = _TOTAL_GRAMS_CACHE.get(key)
+    if hit is not None and stamp is not None and hit[0] == stamp:
+        return hit[1]
+    L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
+    row = (
+        t(spark, sf_dir, "documents")
+        .select(F.greatest(F.size(L) - (k - 1), F.lit(0)).alias("g"))
+        .agg(F.sum("g").cast("long").alias("n"))
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    if stamp is not None:
+        _TOTAL_GRAMS_CACHE[key] = (stamp, n)
+    return n
 
 
 def text_heavy_hitters(spark, sf_dir):

@@ -184,12 +184,18 @@ def answers_relational(blocks: DataFrame) -> DataFrame:
         F.col("id").alias("answer_id"),
         F.col("text").alias("answer"),
         F.col("confidence").alias("answer_conf"),
+        F.lit(1).alias("_resolved"),
     )
     joined = queries.join(
         results, on=["conv_id", "turn_idx", "answer_id"], how="left"
     )
+    # First-resolved = first ANSWER id whose join matched a QUERY_RESULT
+    # block — keyed on the join marker, NOT on answer text: a resolved
+    # result whose Text is null still wins its position (the reference
+    # breaks at it and serves ""), so ordering on answer.isNull() would
+    # wrongly let a later text-bearing id overtake it.
     w = Window.partitionBy("conv_id", "turn_idx", "query_id").orderBy(
-        F.col("answer").isNull().cast("int"), F.col("aidx")
+        F.col("_resolved").isNull().cast("int"), F.col("aidx")
     )
     return (
         joined.withColumn("_rn", F.row_number().over(w))
@@ -197,7 +203,10 @@ def answers_relational(blocks: DataFrame) -> DataFrame:
         .select(
             "conv_id",
             "turn_idx",
-            "page",
+            # reference: int(qb.get("Page") or 1) — null/0 default to 1
+            F.when(
+                F.col("page").isNull() | (F.col("page") == 0), F.lit(1)
+            ).otherwise(F.col("page")).alias("page"),
             "question",
             F.coalesce(F.col("answer"), F.lit("")).alias("answer"),
             F.coalesce(F.col("answer_conf"), F.lit(0.0)).cast("float").alias(

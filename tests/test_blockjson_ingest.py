@@ -226,3 +226,48 @@ def test_answer_pick_is_first_resolved_query_result(spark):
         for a in answer_queries(chunk["Blocks"])
     }
     assert ref == got
+
+
+def test_answer_null_text_result_still_wins_and_page_defaults(spark):
+    """B11 r5 regression: a QUERY_RESULT with NO Text is still RESOLVED
+    — the reference breaks at it and serves ("", its confidence), so a
+    later text-bearing id must NOT overtake it (the old window ordered
+    on answer.isNull() and did exactly that). Also pins the reference's
+    ``int(qb.get("Page") or 1)`` default for a QUERY without Page."""
+    import json
+
+    chunk = {
+        "JobStatus": "SUCCEEDED",
+        "Blocks": [
+            # first resolved result has no Text -> ("", 50.0) wins
+            {"Id": "qe", "BlockType": "QUERY", "Page": 3,
+             "Query": {"Text": "e?"},
+             "Relationships": [{"Type": "ANSWER", "Ids": ["r5", "r6"]}]},
+            {"Id": "r5", "BlockType": "QUERY_RESULT", "Confidence": 50.0},
+            {"Id": "r6", "BlockType": "QUERY_RESULT", "Text": "late",
+             "Confidence": 80.0},
+            # QUERY without Page -> page defaults to 1
+            {"Id": "qf", "BlockType": "QUERY",
+             "Query": {"Text": "f?"},
+             "Relationships": [{"Type": "ANSWER", "Ids": ["r7"]}]},
+            {"Id": "r7", "BlockType": "QUERY_RESULT", "Text": "F1",
+             "Confidence": 70.0},
+        ],
+    }
+    df = spark.createDataFrame(
+        [("c", 0, 0, json.dumps(chunk))],
+        "conv_id string, turn_idx int, page_seq int, response_json string",
+    )
+    got = {
+        r["question"]: (r["answer"], round(r["confidence"], 2), r["page"])
+        for r in answers_relational(parse_response_chunks(df)).collect()
+    }
+    assert got == {"e?": ("", 50.0, 3), "f?": ("F1", 70.0, 1)}
+
+    from amazon_textract_enhancer_spark.core.blocks import answer_queries
+
+    ref = {
+        a["question"]: (a["answer"], round(a["confidence"], 2), a["page"])
+        for a in answer_queries(chunk["Blocks"])
+    }
+    assert ref == got

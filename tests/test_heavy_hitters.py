@@ -147,12 +147,17 @@ def test_registry_form_checks_the_mg_bound_from_corpus_stats(spark):
         .collect()[0]["n"]
     )
     assert n == brute and n > 0
-    # memoized under an (sf_dir, k, file-stamp) key — r5 review: the
-    # stamp invalidates the memo if the table is regenerated in place
-    memo_keys = [key for key in _TOTAL_GRAMS_CACHE
-                 if key[0] == sf and key[1] == HH_NGRAM_K]
-    assert len(memo_keys) == 1
-    assert _TOTAL_GRAMS_CACHE[memo_keys[0]] == n
+    # memoized as ONE (stamp, n) entry per (sf_dir, k) — r5 review: the
+    # stamp invalidates the memo if the table is regenerated in place,
+    # and superseded stamps are overwritten, not accumulated
+    assert _TOTAL_GRAMS_CACHE[(sf, HH_NGRAM_K)][1] == n
+    assert documents_total_grams(spark, sf) == n
+    assert len(_TOTAL_GRAMS_CACHE) == 1
+    # a changed stamp misses and recomputes (stale-N hole closed even
+    # when the entry predates the change)
+    _TOTAL_GRAMS_CACHE[(sf, HH_NGRAM_K)] = ((0, 0), 12345)
+    assert documents_total_grams(spark, sf) == n
+    assert _TOTAL_GRAMS_CACHE[(sf, HH_NGRAM_K)][1] == n
     # the ★ query itself runs green with the guard armed
     assert text_heavy_hitters(spark, sf).count() >= 0
     # and the guard actually fires when the bound is violated

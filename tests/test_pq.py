@@ -254,3 +254,31 @@ def test_pq_param_guards(spark):
         S.ivf_pq_build_index(spark, emb, wh, m_sub=7)  # 64 % 7 != 0
     with pytest.raises(ValueError, match="m_sub/k/n_iters"):
         S.ivf_pq_build_index(spark, emb, wh, k_codes=0)
+
+
+def test_ivf_pq_search_derives_m_sub_from_committed_codebook(spark):
+    """r5 review: search/refresh must USE the committed codebook's
+    subspace count, not a caller parameter — an index built at
+    m_sub=4 searched with the old default (8) made element_at return
+    null for subspaces 4..7, every ADC distance null, and NULLS FIRST
+    served an arbitrary shortlist. Now the kernel derives M=4 from the
+    committed table: distances are non-null and the recall gate holds
+    on the non-default index."""
+    import shutil
+
+    wh, emb = _ivf_pq_fresh(spark)
+    wh += "-m4"
+    shutil.rmtree(wh, ignore_errors=True)
+    S.ivf_pq_build_index(spark, emb, wh, m_sub=4)
+
+    from amazon_textract_enhancer_spark.sources.tableio import TableIO
+
+    io = TableIO(wh)
+    assert S._pq_m_of(io.read_table(spark, "pq_codebook")) == 4
+    got = S.ivf_pq_search(spark, wh).collect()
+    assert len(got) == S.TOP_K
+    assert all(r.cos_sim is not None for r in got)
+    exact = {r.vec_id for r in S.ann_cosine_topk(spark, SF_DIR).collect()}
+    recall = len(exact & {r.vec_id for r in got}) / len(exact)
+    assert recall >= 0.7, recall
+    shutil.rmtree(wh, ignore_errors=True)
