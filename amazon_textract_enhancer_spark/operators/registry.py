@@ -236,6 +236,9 @@ SPARK_QUERIES = {
     "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,  # ✂ committed index
     "c2_keyset_page": serving.c2_keyset_page,
     "x_tool_pagerank": xq.x_tool_pagerank,
+    "c5_search_bm25_batch": serving.c5_search_bm25_batch,
+    "eval_retrieval_known_item": serving.eval_retrieval_known_item,
+    "eval_retrieval_summary": serving.eval_retrieval_summary,
 }
 
 _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -529,6 +532,76 @@ _PPL_QUERY = f"""
         CROSS JOIN vv
         GROUP BY b2.doc_id
     """
+
+# shared CTE chain for the batch-BM25 retrieval twins: query batch =
+# distinct first EVAL_QLEN corpus-split tokens of docs qid < Q; tf
+# census pruned to the batch's terms; per-(qid, doc) score = 4dp round
+# of the exact DECIMAL(18,6) sum of 6dp-rounded per-term BM25
+# contributions (identical op sequence in serving.c5_search_bm25_batch)
+_BM25_BATCH_CTES = f"""
+        WITH dl AS (
+            SELECT doc_id,
+                   len(list_filter({_TOK}, x -> x <> '')) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        ), qt AS (
+            SELECT DISTINCT qid, term FROM (
+                SELECT doc_id AS qid, unnest(arr[1:{serving.EVAL_QLEN}]) AS term
+                FROM (SELECT doc_id,
+                             list_filter({_TOK}, x -> x <> '') AS arr
+                      FROM documents
+                      WHERE doc_id < {serving.EVAL_N_QUERIES})
+            )
+        ), tok AS (
+            SELECT doc_id, unnest(list_filter({_TOK}, x -> x <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term IN (SELECT DISTINCT term FROM qt)
+            GROUP BY doc_id, term
+        ), dfx AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), idf AS (
+            SELECT term, avgdl,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfx, stats
+        ), sc AS (
+            SELECT qt.qid, tf.doc_id,
+                   round(CAST(SUM(CAST(round(idf.idf * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * dl.dl / idf.avgdl)), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+            FROM tf
+            JOIN qt ON qt.term = tf.term
+            JOIN idf ON idf.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            GROUP BY qt.qid, tf.doc_id
+        ), run AS (
+            SELECT qid, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id)
+                       AS INT) AS "rank",
+                   score
+            FROM sc
+        )
+"""
+
+# per-query known-item metrics over the run (the eval twin's SELECT;
+# the summary twin wraps it as one more CTE)
+_EVAL_KNOWN_ITEM_SQL = f"""
+        SELECT uni.qid, hitq.hit_rank,
+               round(coalesce(1.0 / hit_rank, 0.0), 6) AS rr_at_k,
+               round(coalesce(1.0 / log2(hit_rank + 1.0), 0.0), 6)
+                   AS ndcg_at_k,
+               coalesce(CASE WHEN hit_rank IS NOT NULL THEN 1 END, 0) AS hit
+        FROM (SELECT doc_id AS qid FROM documents
+              WHERE doc_id < {serving.EVAL_N_QUERIES}) uni
+        LEFT JOIN (SELECT qid, "rank" AS hit_rank FROM run
+                   WHERE "rank" <= {serving.EVAL_K} AND doc_id = qid) hitq
+        USING (qid)
+        ORDER BY uni.qid
+"""
 
 ORACLE_SQL = {
     "b2_filter_scan_pushdown": """
@@ -3039,5 +3112,25 @@ ORACLE_SQL = {
         GROUP BY af.vec_id
         ORDER BY adc_d, vec_id
         LIMIT 10
+    """,
+    # batch BM25 + known-item retrieval eval: the shared CTE chain
+    # replays the whole retrieval plan — query-prefix batch, term-
+    # pruned tf census, Lucene-smoothed idf, 6dp-round→DECIMAL term
+    # sums, 4dp score, per-query ranking — then the metric twins are
+    # run-sized arithmetic on top (same chain, deeper SELECT)
+    "c5_search_bm25_batch": _BM25_BATCH_CTES + """
+        SELECT qid, doc_id, "rank", score FROM run
+        WHERE "rank" <= 10 ORDER BY qid, "rank"
+    """,
+    "eval_retrieval_known_item": _BM25_BATCH_CTES + _EVAL_KNOWN_ITEM_SQL,
+    "eval_retrieval_summary": _BM25_BATCH_CTES + f"""
+        , m AS ({_EVAL_KNOWN_ITEM_SQL})
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(CAST(sum(CAST(rr_at_k AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mrr_at_k,
+               round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall_at_k,
+               round(CAST(sum(CAST(ndcg_at_k AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_ndcg_at_k
+        FROM m
     """,
 }

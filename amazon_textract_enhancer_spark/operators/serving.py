@@ -662,3 +662,158 @@ def c2_keyset_page(spark: SparkSession, sf_dir: str,
         .orderBy(F.asc("ts"), F.asc("event_id"))
         .limit(page_size)
     )
+
+
+# --------------------------------------------------------------------
+# Retrieval evaluation — batch retrieval + known-item ranking metrics.
+# The missing piece of the search family: a pipeline that BUILDS
+# retrievers (BM25, tf-idf, ANN, hybrid) also has to MEASURE them, at
+# scale, inside the engine — recall@k / MRR / nDCG over a query batch,
+# the standard IR-eval loop (Manning et al., IIR ch. 8) run as a plan.
+# --------------------------------------------------------------------
+
+EVAL_N_QUERIES = 25   # known-item query batch size
+EVAL_QLEN = 6         # query = first QLEN corpus-split tokens of the doc
+EVAL_K = 10           # ranking depth for recall@k / nDCG@k
+
+
+def c5_search_bm25_batch(spark: SparkSession, sf_dir: str,
+                         n_queries: int = EVAL_N_QUERIES,
+                         k: int = EVAL_K) -> DataFrame:
+    """C5 tier (ix) — BATCH BM25 retrieval (★): score a whole query
+    batch against the corpus in ONE plan instead of one job per query
+    (the lexical analog of ``ann_knn_join``). Queries are known-item:
+    query ``qid`` = the distinct first EVAL_QLEN corpus-split tokens
+    of document ``qid`` (self-supervised — no external data), the
+    standard way to synthesize an IR eval set from a corpus.
+
+    Plan shape at 10^12 docs: the (qid, term) batch is a broadcast
+    (Q·QLEN rows); the corpus token stream is SEMI-JOIN pruned to the
+    batch's terms before the tf census, so posting work ∝ query-term
+    postings, never corpus vocabulary; per-(qid, doc) scores fan out
+    from each posting by a broadcast join (≤Q rows per posting); the
+    per-query ranking is ONE window partitioned by qid over candidate
+    rows only. The production form swaps the tf census for the
+    committed ``tokens`` index (c5_search_bm25_indexed's tables) —
+    expressions are identical.
+
+    Numeric discipline: each term's BM25 contribution is rounded to
+    6 dp and summed as DECIMAL(18,6) — exact and order-independent in
+    both engines — then the (qid, doc) score re-rounds to 4 dp before
+    ranking with doc_id tie-breaks, so cross-engine rank flips are
+    impossible (the text_zipf_fit / x_tool_pagerank discipline)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    terms_arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
+    )
+    dl = docs.select("doc_id", F.size(terms_arr).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        docs.filter(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(F.slice(terms_arr, 1, EVAL_QLEN)).alias("term"),
+        )
+        .distinct()
+    )
+    toks = tokenize(docs, "text", ["doc_id"]).join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "avgdl",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    contrib = F.round(_bm25_score(
+        F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl")
+    ), 6).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(contrib).cast("double"), 4).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+        .orderBy("qid", "rank")
+    )
+
+
+def eval_retrieval_known_item(spark: SparkSession, sf_dir: str,
+                              n_queries: int = EVAL_N_QUERIES,
+                              k: int = EVAL_K) -> DataFrame:
+    """Retrieval EVALUATION, per query (★): known-item ranking metrics
+    over the batch-BM25 run — for query qid the one relevant document
+    IS document qid, so hit_rank = the rank at which the retriever
+    returns its own source. Emits, per query: hit_rank (null = missed
+    the top k), rr_at_k = 1/hit_rank (the MRR addend), ndcg_at_k =
+    1/log2(hit_rank+1) (binary relevance, single relevant doc → ideal
+    DCG = 1), hit = recall@k indicator. Queries whose documents yield
+    no tokens (or miss top-k) stay in the output with zeros — an eval
+    that silently drops failed queries overstates every metric.
+
+    Scale: the run is Q·k rows; every join here is run-sized, never
+    corpus-sized — the corpus-scale work already happened inside the
+    batch retrieval plan."""
+    docs = t(spark, sf_dir, "documents")
+    run = c5_search_bm25_batch(spark, sf_dir, n_queries=n_queries, k=k)
+    universe = docs.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid")
+    )
+    hits = run.filter(F.col("doc_id") == F.col("qid")).select(
+        "qid", F.col("rank").alias("hit_rank")
+    )
+    return (
+        universe.join(hits, "qid", "left")
+        .select(
+            "qid",
+            "hit_rank",
+            F.round(
+                F.coalesce(1.0 / F.col("hit_rank"), F.lit(0.0)), 6
+            ).alias("rr_at_k"),
+            F.round(
+                F.coalesce(
+                    1.0 / F.log2(F.col("hit_rank") + 1.0), F.lit(0.0)
+                ), 6
+            ).alias("ndcg_at_k"),
+            F.coalesce(
+                (F.col("hit_rank").isNotNull()).cast("int"), F.lit(0)
+            ).alias("hit"),
+        )
+        .orderBy("qid")
+    )
+
+
+def eval_retrieval_summary(spark: SparkSession, sf_dir: str,
+                           n_queries: int = EVAL_N_QUERIES,
+                           k: int = EVAL_K) -> DataFrame:
+    """Retrieval EVALUATION, macro (★): one row of corpus-level
+    retriever health — MRR@k, recall@k, mean nDCG@k over the known-
+    item batch. Means are computed as exact DECIMAL(18,6) sums of the
+    already-6dp-rounded per-query metrics divided by the query count
+    (one IEEE division), so the averages are order-independent and
+    cross-engine exact; a plain AVG over doubles could flip the 6th
+    decimal between engines depending on reduction order."""
+    m = eval_retrieval_known_item(spark, sf_dir, n_queries=n_queries, k=k)
+    n = F.count(F.lit(1))
+    exact_mean = lambda c: F.round(  # noqa: E731 — twin mirrors this
+        F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / n, 6
+    )
+    return m.agg(
+        n.cast("long").alias("n_queries"),
+        exact_mean("rr_at_k").alias("mrr_at_k"),
+        F.round(F.sum("hit") / n, 6).alias("recall_at_k"),
+        exact_mean("ndcg_at_k").alias("mean_ndcg_at_k"),
+    )

@@ -250,7 +250,8 @@ def main() -> None:
                    "c5_search_hybrid_vector", "text_zipf_fit",
                    "x_template_extraction_qa", "embed_pq_error",
                    "ann_pq_adc", "ann_ivf_pq_topk", "c2_keyset_page",
-                   "x_tool_pagerank")
+                   "x_tool_pagerank", "c5_search_bm25_batch",
+                   "eval_retrieval_known_item", "eval_retrieval_summary")
     extra, sprs, bests = _timed_passes(
         {n: (lambda fn=SPARK_QUERIES[n]: _force(fn(spark, SF_DIR)))
          for n in extra_names})
