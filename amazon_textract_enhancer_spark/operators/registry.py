@@ -3118,9 +3118,9 @@ ORACLE_SQL = {
     # pruned tf census, Lucene-smoothed idf, 6dp-round→DECIMAL term
     # sums, 4dp score, per-query ranking — then the metric twins are
     # run-sized arithmetic on top (same chain, deeper SELECT)
-    "c5_search_bm25_batch": _BM25_BATCH_CTES + """
+    "c5_search_bm25_batch": _BM25_BATCH_CTES + f"""
         SELECT qid, doc_id, "rank", score FROM run
-        WHERE "rank" <= 10 ORDER BY qid, "rank"
+        WHERE "rank" <= {serving.EVAL_K} ORDER BY qid, "rank"
     """,
     "eval_retrieval_known_item": _BM25_BATCH_CTES + _EVAL_KNOWN_ITEM_SQL,
     "eval_retrieval_summary": _BM25_BATCH_CTES + f"""

@@ -1289,6 +1289,29 @@ def _pq_m_of(cents: DataFrame) -> int:
     return int(m)
 
 
+_PQ_M_CACHE: dict[str, tuple[tuple, int]] = {}
+
+
+def _pq_m_for_warehouse(spark: SparkSession, io, warehouse: str) -> int:
+    """``_pq_m_of`` memoized per warehouse: the codebook is FROZEN
+    after build (refresh re-encodes against it; only a rebuild commits
+    a new one), so the subspace count is derived with one aggregation
+    job per (warehouse, commit) instead of one per search call (r5
+    review: probed search is the serving path — a per-query metadata
+    job is pure added latency). Validity key = the codebook manifest's
+    (committed_at_unix, rows), a file read with no Spark job; a
+    recommitted codebook misses and re-derives."""
+    m = io.read_manifest("pq_codebook")
+    stamp = None if m is None else (m.get("committed_at_unix"), m.get("rows"))
+    hit = _PQ_M_CACHE.get(warehouse)
+    if hit is not None and stamp is not None and hit[0] == stamp:
+        return hit[1]
+    val = _pq_m_of(io.read_table(spark, "pq_codebook"))
+    if stamp is not None:
+        _PQ_M_CACHE[warehouse] = (stamp, val)
+    return val
+
+
 def _pq_sub_dists(vcol: str, s: int, m_sub: int) -> Column:
     """array of 6dp-rounded squared distances from subvector ``s`` of
     row column ``vcol`` to every code centroid of subspace ``s`` (the
@@ -1503,13 +1526,13 @@ def ivf_pq_search(
     from ..sources.tableio import TableIO
 
     io = TableIO(warehouse)
-    cents_pq = io.read_table(spark, "pq_codebook")
     return _ivf_pq_search_kernel(
         io.read_table(spark, "ivf_index"),
         io.read_table(spark, "ivf_centroids"),
         io.read_table(spark, "ivf_pq_codes"),
-        _pq_codebook_row(cents_pq),
-        query_vec_id, nprobe, k, shortlist, _pq_m_of(cents_pq),
+        _pq_codebook_row(io.read_table(spark, "pq_codebook")),
+        query_vec_id, nprobe, k, shortlist,
+        _pq_m_for_warehouse(spark, io, warehouse),
     )
 
 
@@ -1611,11 +1634,10 @@ def ivf_pq_refresh(
                           stale_vec_ids=stale_vec_ids)
     cents = io.read_table(spark, "ivf_centroids")
     assigned = _assign_buckets(_unit_vectors(new_emb), cents)
-    cents_pq = io.read_table(spark, "pq_codebook")
-    cb = _pq_codebook_row(cents_pq)
+    cb = _pq_codebook_row(io.read_table(spark, "pq_codebook"))
     # encode with the COMMITTED subspace count — a caller-supplied
     # m_sub could append wrong-length code rows into the merged view
-    m_sub = _pq_m_of(cents_pq)
+    m_sub = _pq_m_for_warehouse(spark, io, warehouse)
     new_codes = (
         assigned.select("vec_id", "bucket", F.col("uv").alias("v"))
         .crossJoin(F.broadcast(cb))
@@ -1667,11 +1689,11 @@ def ivf_pq_search_merged(
     from ..sources.tableio import TableIO
 
     io = TableIO(warehouse)
-    cents_pq = io.read_table(spark, "pq_codebook")
     return _ivf_pq_search_kernel(
         read_ivf_index_merged(spark, warehouse),
         io.read_table(spark, "ivf_centroids"),
         read_ivf_pq_codes_merged(spark, warehouse),
-        _pq_codebook_row(cents_pq),
-        query_vec_id, nprobe, k, shortlist, _pq_m_of(cents_pq),
+        _pq_codebook_row(io.read_table(spark, "pq_codebook")),
+        query_vec_id, nprobe, k, shortlist,
+        _pq_m_for_warehouse(spark, io, warehouse),
     )

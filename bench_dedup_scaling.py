@@ -30,6 +30,11 @@ jobs never touch the shared virtio disk.
 
 Usage: python bench_dedup_scaling.py [reps]  → BENCH/dedup_scaling.json
        (internal: spark-submit ... --runner <op> <corpus> <reps>)
+Env:   ATES_DEDUP_OPS=op1,op2  — measure only these ops
+       ATES_DEDUP_MERGE=1      — merge this sitting's walls with the
+       existing JSON's before computing stats (the bench_scaling.py
+       MERGE_FULL precedent: local[8] reps swing with host steal, so
+       medians need more reps than one sitting's worth)
 """
 
 from __future__ import annotations
@@ -97,8 +102,10 @@ def build_corpora() -> None:
                 ).alias("text"),
                 "lang",
                 "source",
-                (F.length("text") + 16).alias("n_chars"),
             )
+            # from the BUILT column, not length(text)+const — the
+            # suffix width varies with the rep digit count (r5 review)
+            .withColumn("n_chars", F.length("text"))
             .repartition(16, "doc_id")
         )
 
@@ -185,14 +192,30 @@ def run_master(master: str, op: str, corpus_dir: str, reps: int) -> dict:
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
                          timeout=3600)
     s1, t1 = _cpu_times()
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    res = json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"spark-submit failed for {op} at {master} "
+            f"(rc={out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
+        )
+    res = json.loads(lines[-1])
     res["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
     return res
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 3
+    if len(sys.argv) > 2 or (len(sys.argv) == 2 and not sys.argv[1].isdigit()):
+        raise SystemExit(__doc__)
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    ops_filter = os.environ.get("ATES_DEDUP_OPS")
+    ops = {k: v for k, v in OPS.items()
+           if not ops_filter or k in ops_filter.split(",")}
+    merge = os.environ.get("ATES_DEDUP_MERGE") == "1"
+    prev: dict = {}
+    out_path = os.path.join(REPO, "BENCH", "dedup_scaling.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f).get("ops", {})
     build_corpora()
     results: dict = {
         "protocol": (
@@ -207,18 +230,26 @@ def main() -> None:
         "masters": list(MASTERS),
         "ops": {},
     }
-    for op, corpus_dir in OPS.items():
+    for op, corpus_dir in ops.items():
         per = {}
         for master in MASTERS:
             r = run_master(master, op, corpus_dir, reps)
-            med = statistics.median(r["walls"])
-            best = min(r["walls"])
+            walls = list(r["walls"])
+            steals = [r["steal_pct"]] * 1
+            if merge and op in prev and master in prev[op]:
+                walls = prev[op][master]["walls"] + walls
+                steals = prev[op][master].get(
+                    "steal_pct_sittings", [prev[op][master]["steal_pct"]]
+                ) + steals
+            med = statistics.median(walls)
+            best = min(walls)
             per[master] = {
-                "walls": r["walls"], "median_s": med, "best_s": best,
+                "walls": walls, "median_s": med, "best_s": best,
                 "docs_per_sec_median": round(r["n_docs"] / med, 1),
                 "docs_per_sec_best": round(r["n_docs"] / best, 1),
                 "n_docs": r["n_docs"], "n_pairs": r["n_pairs"],
                 "steal_pct": r["steal_pct"],
+                "steal_pct_sittings": steals,
             }
         t2, t8 = per["local[2]"], per["local[8]"]
         results["ops"][op] = {
@@ -229,6 +260,9 @@ def main() -> None:
         }
         print(op, results["ops"][op]["efficiency_median"],
               results["ops"][op]["efficiency_clean"], flush=True)
+    # ops excluded by the filter keep their previous entries
+    for op, entry in prev.items():
+        results["ops"].setdefault(op, entry)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "dedup_scaling.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -276,6 +276,10 @@ def test_ivf_pq_search_derives_m_sub_from_committed_codebook(spark):
     io = TableIO(wh)
     assert S._pq_m_of(io.read_table(spark, "pq_codebook")) == 4
     got = S.ivf_pq_search(spark, wh).collect()
+    # and the serving path memoized it per warehouse (keyed by the
+    # codebook commit) so repeat searches skip the derivation job
+    assert S._PQ_M_CACHE[wh][1] == 4
+    assert S._pq_m_for_warehouse(spark, io, wh) == 4
     assert len(got) == S.TOP_K
     assert all(r.cos_sim is not None for r in got)
     exact = {r.vec_id for r in S.ann_cosine_topk(spark, SF_DIR).collect()}
