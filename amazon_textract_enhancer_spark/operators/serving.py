@@ -751,6 +751,61 @@ def c5_search_bm25_batch(spark: SparkSession, sf_dir: str,
     )
 
 
+def c5_search_bm25_batch_indexed(
+    tokens: DataFrame,
+    doc_lengths: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    id_cols: list[str],
+    k: int = EVAL_K,
+) -> DataFrame:
+    """Production form of ``c5_search_bm25_batch`` over the COMMITTED
+    serving tables (``tokens`` (*id_cols, term, tf) bucketed by term,
+    ``doc_lengths`` (*id_cols, dl), and the (n_docs, avgdl) scalars
+    from the committed ``corpus_stats`` row) — nothing re-tokenizes
+    and nothing scans the raw corpus: cost is |postings of the
+    batch's terms| + one equi-join against doc_lengths, then the same
+    per-qid window. ``qterms`` is the (qid, term) query batch (a
+    broadcast here; a committed batch table repartitioned on term at
+    million-query scale — the plan shape is unchanged). Same scoring
+    expressions and the same 6dp-round→DECIMAL(18,6)-sum→4dp-score
+    discipline as the self-contained form; equality pinned in
+    tests/test_retrieval_eval.py (the c5_search_bm25_indexed
+    precedent)."""
+    from pyspark.sql import Window
+
+    hits = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "term",
+        F.log(
+            (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    contrib = F.round(_bm25_score(
+        F.col("tf"), F.col("idf"), F.col("dl"), F.lit(float(avgdl))
+    ), 6).cast("decimal(18,6)")
+    scored = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(doc_lengths, id_cols)
+        .groupBy("qid", *id_cols)
+        .agg(F.round(F.sum(contrib).cast("double"), 4).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), *[F.asc(c) for c in id_cols]
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", *id_cols, "rank", "score")
+        .orderBy("qid", "rank")
+    )
+
+
 def eval_retrieval_known_item(spark: SparkSession, sf_dir: str,
                               n_queries: int = EVAL_N_QUERIES,
                               k: int = EVAL_K) -> DataFrame:

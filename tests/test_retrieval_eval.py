@@ -89,3 +89,43 @@ def test_batch_plan_broadcasts_batch_and_prunes_postings(spark):
     # 1-row (n_docs, avgdl) stats aggregate into idf — never a
     # partitioned cartesian over data-sized inputs
     assert "CartesianProduct" not in plan, plan
+
+
+def test_batch_indexed_equals_self_contained(spark):
+    """c5_search_bm25_batch_indexed over (tokens, doc_lengths,
+    corpus-stats scalars, a qterms batch) must return the identical
+    run — (qid, doc_id, rank, score) — as the self-contained form's
+    in-plan derivation: the committed-index production path may not
+    drift from the registry form (the c5_search_bm25_indexed
+    precedent, extended to the batch/eval family)."""
+    sf = SF_DIR
+    from amazon_textract_enhancer_spark.operators.io_util import t
+    from amazon_textract_enhancer_spark.operators.serving import (
+        TOKEN_PATTERN,
+        c5_search_bm25_batch_indexed,
+        term_frequencies,
+    )
+
+    expected = S.c5_search_bm25_batch(spark, sf).toPandas()
+
+    docs = t(spark, sf, "documents")
+    terms_arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
+    )
+    tokens = term_frequencies(docs, "text", ["doc_id"])
+    dl = tokens.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")) \
+        .collect()[0]
+    qterms = (
+        docs.filter(F.col("doc_id") < S.EVAL_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(F.slice(terms_arr, 1, S.EVAL_QLEN)).alias("term"),
+        )
+        .distinct()
+    )
+    got = c5_search_bm25_batch_indexed(
+        tokens, dl, stats["n"], stats["a"], qterms, ["doc_id"]
+    ).toPandas()
+    assert list(got.columns) == list(expected.columns)
+    assert got.equals(expected)
