@@ -110,6 +110,46 @@ def _shingle_hashes_raw(
     )
 
 
+def _shingle_hash_array(L_col: str = "L", k: int = 3):
+    """In-row expression: the DISTINCT int64 shingle-hash array of one
+    document (r6, guide §2.3/§2.4). A document is ONE source row, so
+    its shingle set — and therefore its set size and any per-document
+    aggregate of it — needs no shuffle at all: ``array_distinct`` over
+    a ``transform`` replaces the explode → groupBy(doc_id) round-trip.
+    Hash values are byte-identical to ``_shingle_hashes_raw`` (same
+    xxhash64 over the same k token columns), so consumers see the same
+    sets.
+
+    ``L_col`` must be a BOUND column holding the token array (split
+    output) — embedding the split expression itself here would
+    re-evaluate it per array element inside the interpreted lambda
+    (measured: 2.8s → 19s, O(tokens²) per row). Guard: rows with fewer
+    than k tokens must be filtered by the caller (``sequence(1, 0)``
+    would count DOWN)."""
+    L = F.col(L_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(L) - (k - 1)),
+            lambda i: F.xxhash64(*[F.element_at(L, i + j) for j in range(k)]),
+        )
+    )
+
+
+def _shingle_string_array(L_col: str = "L", k: int = 3):
+    """In-row expression: the DISTINCT k-token shingle STRING array of
+    one document — same values as ``_shingles``'s per-doc set, computed
+    map-side. Same bound-column contract as ``_shingle_hash_array``."""
+    L = F.col(L_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(L) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(L, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
 def _shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct k-token shingles, pure expressions.
     Costs one dedup exchange; prefer ``_shingles_raw`` + set-aggregation
@@ -173,35 +213,74 @@ def dedup_ngram_jaccard(
     # set also dedups before anything ships. r5b: the index never reads
     # shingle text back, so the key is the map-side int64 hash — see
     # _shingle_hashes_raw for the shuffle-width and collision math.
-    sh = _shingle_hashes_raw(docs)
-    grouped = sh.groupBy("sh").agg(F.collect_set("doc_id").alias("ids"))
-    sizes = (
-        grouped.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
-    )
-    kept = grouped.filter(F.size("ids") <= df_cap)
-    pairs = (
-        kept.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+    #
+    # r6 restructure (guide §2.3/§2.4, OPTIMIZATION_r06.md): the r5
+    # shape branched the posting-list aggregation into a sizes branch
+    # and a pair branch and re-joined sizes twice at the end; Catalyst
+    # column pruning specialized each branch's aggregate, ReusedExchange
+    # never fired, and the executed plan scanned + re-shingled the
+    # corpus THREE times (measured: 3 parquet scans, 6 exchanges,
+    # 2.8s median at sf0.1). This form is one LINEAR chain — a document
+    # is one source row, so its distinct shingle set AND its set size
+    # are in-row map-side expressions (``_shingle_hash_array``; no
+    # doc_id shuffle exists at all), the size rides INSIDE the
+    # posting-list elements, and the Jaccard denominator needs no join:
+    # scan once → in-row size + codegen hash-stream explode → posting
+    # lists of (doc_id, sz) structs (shuffle by shingle hash; map-side
+    # partial collect_set dedups before anything ships) → capped pair
+    # explosion → pair counts (shuffle by pair). 1 scan, 2 exchanges,
+    # 0 joins — also the 10^12-row shape, where the old per-doc-size
+    # join sides are far beyond broadcast range.
+    #
+    # NB (r6, measured 9.8s regression before this shape): do NOT
+    # explode the in-row distinct array itself — InferFiltersFromGenerate
+    # adds isnotnull/size>0 on the generator input and predicate
+    # pushdown substitutes the aliases all the way down, inlining the
+    # split() INSIDE the interpreted lambda (re-evaluated per element,
+    # O(tokens²) per row). Exploding the cheap sequence() keeps the
+    # Generate codegen'd; only the scalar ``sz`` uses the in-row array.
+    L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
+    parts = [F.element_at(F.col("L"), F.col("i") + j) for j in range(3)]
+    posting = (
+        docs.select("doc_id", L.alias("L"))
+        .filter(F.size("L") >= 3)
+        .select("doc_id", F.size(_shingle_hash_array("L")).alias("sz"), "L")
         .select(
+            "doc_id",
+            "sz",
+            F.explode(F.sequence(F.lit(1), F.size("L") - 2)).alias("i"),
+            "L",
+        )
+        .select("doc_id", "sz", F.xxhash64(*parts).alias("sh"))
+        .groupBy("sh")
+        .agg(F.collect_set(F.struct("doc_id", "sz")).alias("ids"))
+    )
+    # (A slice-based i<j combination enumeration — half the generated
+    # rows, no a<b filter — was A/B-measured marginally SLOWER than
+    # this double explode: the per-position slice() allocation costs
+    # more than the discarded half-pairs. Kept the simple form.)
+    kept = posting.filter(F.size("ids") <= df_cap)
+    pairs = (
+        kept.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = pairs.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
+    ).agg(F.count(F.lit(1)).alias("i"))
+    return (
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 4
+                F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return jac
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH,
@@ -291,12 +370,31 @@ def dedup_minhash_lsh(
     # once per band). Signature definition unchanged vs
     # minhash_signatures() — same xxhash64 seeds over the same distinct
     # shingle sets, identical (band, bucket) values to lsh_banded.
+    # r6 (guide §2.4, §5 caching): the profile feeds FIVE consumers
+    # (banding → hot-bucket audit + anti-join side, the self-join's two
+    # candidate sides, and the two verify profile joins); Catalyst
+    # column pruning specializes each branch's aggregate so
+    # ReusedExchange never fires and the executed r5 plan scanned +
+    # re-shingled + re-aggregated the corpus SIX times (measured: 6
+    # parquet scans, 8 exchanges, 2.3s median at sf0.1). One eager
+    # localCheckpoint materializes the signature table once per
+    # invocation — the in-query analog of the committed signature table
+    # this docstring already prescribes at 10^12 rows (and what the
+    # production pipeline does via TableIO). Nothing persists across
+    # invocations: each call recomputes the checkpoint from the parquet
+    # input. Downstream join strategy is left to AQE, which sees the
+    # real (small) checkpoint sizes at runtime. (An all-in-row HOF
+    # profile — 17 interpreted transform passes per row — was measured
+    # SLOWER than this codegen explode + partially-aggregated groupBy,
+    # whose exchange ships one complete buffer per doc, not the raw
+    # stream; see OPTIMIZATION_r06.md.)
     sh = _shingles_raw(docs)
     prof = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
           for s in range(N_MINHASH)],
         F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("hs"),
     ).withColumn("sz", F.size("hs"))
+    prof = prof.localCheckpoint(eager=True)
     rpb = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(

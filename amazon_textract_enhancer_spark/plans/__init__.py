@@ -15,6 +15,16 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def final_plan(df: DataFrame) -> str:
+    """The executed plan with AQE's "Initial Plan" echo stripped: after
+    execution, AdaptiveSparkPlan.toString prints BOTH the final and the
+    initial plan, so substring counts (e.g. scans) double-count unless
+    the initial section is cut."""
+    plan = executed_plan(df)
+    marker = "== Initial Plan =="
+    return plan.split(marker, 1)[0]
+
+
 def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

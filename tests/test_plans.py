@@ -9,6 +9,7 @@ from __future__ import annotations
 from amazon_textract_enhancer_spark.operators import registry
 from amazon_textract_enhancer_spark.plans import (
     executed_plan,
+    final_plan,
     n_broadcast_joins,
     n_exchanges,
     pushed_filters,
@@ -141,11 +142,13 @@ def test_ann_pairs_is_distributed_cogroup_no_driver_hop(spark, monkeypatch):
 
 
 def test_dedup_jaccard_reuses_grouped_exchange(spark):
-    """The posting-list exchange must be built once and reused by both
-    the sizes and pair branches (ReusedExchange), not recomputed."""
+    """The corpus must be scanned and shingled exactly once (r6: the
+    per-doc set size rides inside the posting-list elements, so the r5
+    sizes branch — and with it any need for ReusedExchange — is gone;
+    the final plan is one linear scan → posting → pair chain)."""
     df = _q(spark, "dedup_ngram_jaccard")
-    df.collect()  # AQE finalizes reuse only on execution
-    plan = executed_plan(df)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = final_plan(df)
     assert "ReusedExchange" in plan or plan.count("Scan parquet") <= 1, plan
 
 
@@ -221,10 +224,10 @@ def test_dedup_shingle_stream_has_no_pre_aggregation_distinct(spark):
     jaccard's posting-list exchange is still built once and reused."""
     jac = _q(spark, "dedup_ngram_jaccard")
     jac.collect()
-    pj = executed_plan(jac)
+    pj = final_plan(jac)
     mh = _q(spark, "dedup_minhash_lsh")
     mh.collect()
-    pm = executed_plan(mh)
+    pm = final_plan(mh)
     import re
 
     for p in (pj, pm):
