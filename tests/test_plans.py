@@ -152,6 +152,44 @@ def test_dedup_jaccard_reuses_grouped_exchange(spark):
     assert "ReusedExchange" in plan or plan.count("Scan parquet") <= 1, plan
 
 
+def test_b5_single_exchange_two_level_concat(spark):
+    """r6: one explicit user_id repartition serves BOTH nested ordered
+    aggregations (subset rule: HashPartitioning(user_id) satisfies the
+    (user_id, day) clustering), so the final plan has exactly one
+    shuffle."""
+    df = _q(spark, "b5_two_level_ordered_concat")
+    df.collect()
+    fp = final_plan(df)
+    n = sum(1 for line in fp.splitlines()
+            if "Exchange" in line and "BroadcastExchange" not in line)
+    assert n == 1, fp
+
+
+def test_c6_df_is_single_count_no_expand(spark):
+    """r6: per-document term dedup happens in-row (array_distinct), so
+    document frequency is one count() aggregation — no Expand node, no
+    second exchange from countDistinct."""
+    df = _q(spark, "c6_tokenize_df")
+    df.collect()
+    fp = final_plan(df)
+    assert "Expand" not in fp, fp
+    n = sum(1 for line in fp.splitlines()
+            if "Exchange" in line and "BroadcastExchange" not in line)
+    assert n == 1, fp
+
+
+def test_minhash_profile_materialized_once(spark):
+    """r6: the minhash signature profile is localCheckpoint'ed, so the
+    final plan's five profile consumers read the materialized RDD — the
+    corpus parquet is scanned exactly once (inside the checkpoint job),
+    never re-shingled per branch."""
+    df = _q(spark, "dedup_minhash_lsh")
+    df.collect()
+    fp = final_plan(df)
+    assert "Scan parquet" not in fp, fp
+    assert "ExistingRDD" in fp or "Scan" in fp
+
+
 def test_knn_join_broadcasts_query_batch(spark):
     """The k-NN join must broadcast the query batch (corpus side
     streams; one scan per batch) and rank inside the plan."""
