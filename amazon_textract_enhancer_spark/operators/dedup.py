@@ -671,6 +671,11 @@ def dedup_simhash_pairs(
         F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("hs"),
         F.count(F.lit(1)).alias("sz"),
     )
+    # r6 (guide §2.4, §5): the profile feeds both verify sides — without
+    # materialization the shingle scan + distinct + aggregation ran
+    # twice (column pruning blocks ReusedExchange, as in the minhash
+    # ops); one checkpoint per invocation, the committed-table analog.
+    prof = prof.localCheckpoint(eager=True)
     pa = prof.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")
     )
@@ -1190,20 +1195,30 @@ def dedup_minhash_portable(
         F.sort_array(F.collect_set("ha")).alias("hs"),
         F.count(F.lit(1)).alias("sz"),
     )
-    bands = []
-    for band in range(N_BANDS):
-        cols = [F.col(f"h{band * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)]
-        bands.append(
-            prof.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.concat_ws("_", *cols).alias("bucket"),
-            )
+    # r6 (guide §2.4, §5): same two fixes as dedup_minhash_lsh — the
+    # r5 plan re-ran the shingle scan + profile aggregation once per
+    # band UNION branch plus once per verify side (measured: 18 parquet
+    # scans, 28 exchanges, 2.9s at sf0.1). The profile materializes
+    # once per invocation (the committed-signature-table analog) and
+    # banding is ONE explode over 4 in-row structs instead of a 4-way
+    # union; (band, bucket) values are unchanged.
+    prof = prof.localCheckpoint(eager=True)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"h{band * rows_per_band + r}").cast("string")
+                  for r in range(rows_per_band)],
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+        for band in range(N_BANDS)
+    ]
+    banded = prof.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     hot = (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1290,7 +1305,14 @@ def dedup_simhash_portable(
         "(s, b) -> if(2 * s > n, shiftleft(1L, b), 0L)), "
         "0L, (acc, x) -> acc | x)"
     )
-    fp = agg.select("doc_id", fp_expr.alias("fp"))
+    # r6 (guide §2.4, §5): the 60-bit majority aggregation materializes
+    # once per invocation — the r5 form re-ran the token scan + 60-sum
+    # aggregate once per probe-combination UNION branch (20×) inside
+    # the banded checkpoint job (4.6s median at sf0.1). Banding is now
+    # ONE posexplode over the 20 fold keys (identical band order —
+    # itertools.combinations enumeration — and identical
+    # base-2^block_bits key arithmetic).
+    fp = agg.select("doc_id", fp_expr.alias("fp")).localCheckpoint(eager=True)
 
     mask = F.lit((1 << PSIM_BLOCK_BITS) - 1).cast("long")
     radix = 1 << PSIM_BLOCK_BITS
@@ -1300,19 +1322,16 @@ def dedup_simhash_portable(
     ])
     combos = list(combinations(range(PSIM_BLOCKS), PSIM_PROBE))
     keyed = fp.select("doc_id", "fp", blocks.alias("blk"))
-    bands = []
-    for band, combo in enumerate(combos):
+    keys = []
+    for combo in combos:
         key = F.lit(0).cast("long")
         for b in combo:
             key = key * radix + F.element_at(F.col("blk"), b + 1)
-        bands.append(
-            keyed.select(
-                "doc_id", "fp",
-                F.lit(band).alias("band"), key.alias("bucket"),
-            )
-        )
-    banded = reduce(lambda x, y: x.unionByName(y), bands).localCheckpoint(
-        eager=True
+        keys.append(key)
+    banded = keyed.select(
+        "doc_id", "fp", F.posexplode(F.array(*keys)).alias("band", "bucket")
+    ).select(
+        "doc_id", "fp", F.col("band").cast("int").alias("band"), "bucket"
     )
     hot = (
         banded.groupBy("band", "bucket")

@@ -977,42 +977,61 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a second, d-key agg over the same scan lineage.
 
     Cross-engine determinism: each product (and each component, for
-    the means) is rounded to 6dp and summed as DECIMAL(24,6) — exact
-    integer-scaled arithmetic, so the sum is order-independent and the
-    DuckDB twin (different partitioning, different order) lands on the
-    identical value; the final covariance combines the two exact sums
-    and rounds once more."""
+    the means) is rounded to 6dp and summed exactly at integer scale
+    (×1e6 as long — see the in-body note; value-identical to the
+    DECIMAL(24,6) sum the r5 form used and the DuckDB twin still
+    performs), so the sum is order-independent and the twin (different
+    partitioning, different order) lands on the identical value; the
+    final covariance combines the two exact sums and rounds once
+    more."""
+    # r6 (guide §1.2 "per-task work", measured 6.6s → 2.8s at sf0.1):
+    # two changes, output byte-identical (A/B-verified on all 2080
+    # cells). (1) The d(d+1)/2 products per row were built as nested
+    # interpreted ``transform``s allocating a struct per product and
+    # flattening; two codegen Generates over sequence() with
+    # element_at() produce the same (i, j, product) stream with no
+    # per-product allocation. (2) The order-independent exact sum runs
+    # in LONG arithmetic instead of DECIMAL(24,6): round(x, 6) is the
+    # double nearest k/1e6 (|err| ≤ ulp/2), so round(round(x,6)*1e6, 0)
+    # recovers the integer k EXACTLY for |x| ≲ 1e9, and summing k as
+    # long is the same exact integer-scaled sum the decimal performed
+    # (overflow headroom 2^63/1e6 ≈ 9.2e12 unit-scale products per
+    # cell — same order as the decimal's 10^18/1e6). The final
+    # /1e6-as-double equals decimal→double: both are correctly rounded
+    # conversions of the identical exact rational.
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    terms = F.expr(
-        """
-        flatten(transform(v, (xi, i) ->
-            transform(slice(v, i + 1, size(v) - i), (xj, j2) ->
-                struct(i + 1 AS i, i + j2 + 1 AS j,
-                       CAST(round(xi * xj, 6) AS DECIMAL(24,6)) AS p))))
-        """
-    )
+    p_long = F.round(
+        F.round(
+            F.element_at("v", F.col("i")) * F.element_at("v", F.col("j")), 6
+        )
+        * 1e6,
+        0,
+    ).cast("long")
     sij = (
-        emb.select(F.explode(terms).alias("t"))
-        .select("t.i", "t.j", "t.p")
+        emb.select("v", F.explode(F.sequence(F.lit(1), F.size("v"))).alias("i"))
+        .select(
+            "v", "i", F.explode(F.sequence(F.col("i"), F.size("v"))).alias("j")
+        )
+        .select("i", "j", p_long.alias("p"))
         .groupBy("i", "j")
-        .agg(F.sum("p").alias("s_ij"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("p").alias("sl_ij"), F.count(F.lit(1)).alias("n"))
     )
+    x_long = F.round(F.round(F.col("x"), 6) * 1e6, 0).cast("long")
     si = (
         emb.select(F.posexplode("v").alias("i0", "x"))
-        .select(
-            (F.col("i0") + 1).alias("i"),
-            F.round("x", 6).cast("decimal(24,6)").alias("xr"),
-        )
+        .select((F.col("i0") + 1).alias("i"), x_long.alias("xr"))
         .groupBy("i")
-        .agg(F.sum("xr").alias("s"))
+        .agg(F.sum("xr").alias("sl"))
     )
-    mi = F.broadcast(si.select(F.col("i").alias("mi_i"), F.col("s").alias("s_i")))
-    mj = F.broadcast(si.select(F.col("i").alias("mj_j"), F.col("s").alias("s_j")))
+    mi = F.broadcast(si.select(F.col("i").alias("mi_i"), F.col("sl").alias("sl_i")))
+    mj = F.broadcast(si.select(F.col("i").alias("mj_j"), F.col("sl").alias("sl_j")))
     cov = (
-        F.col("s_ij").cast("double")
-        - F.col("s_i").cast("double") * F.col("s_j").cast("double") / F.col("n")
+        F.col("sl_ij").cast("double") / 1e6
+        - (F.col("sl_i").cast("double") / 1e6)
+        * (F.col("sl_j").cast("double") / 1e6)
+        / F.col("n")
     ) / F.col("n")
     return (
         sij.join(mi, F.col("i") == F.col("mi_i"))
