@@ -150,6 +150,20 @@ PNG_SCHEMA = StructType(
 )
 
 
+def _synth_ids(docs: DataFrame) -> DataFrame:
+    """doc_id projection, re-spread to the session's default
+    parallelism before payload synthesis (r6, guide §2.6/§8): the
+    fixture scan is one parquet row group → ONE task, so the entire
+    pure-Python encode→decode codec chain ran on a single core
+    (measured: mm_jpeg_color_stats 5.0s with 31 idle slots). The
+    exchange moves ONLY the 8-byte doc_id — payloads are synthesized
+    AFTER it, so the heavy bytes still never shuffle ("shuffle keys,
+    not payloads"); width follows defaultParallelism (scale-adaptive:
+    the cluster's core count, never a constant)."""
+    sc = docs.sparkSession.sparkContext
+    return docs.select("doc_id").repartition(sc.defaultParallelism)
+
+
 def synth_png_payloads(docs: DataFrame) -> DataFrame:
     """(doc_id) → (doc_id, payload): a REAL PNG per document, encoded
     with the stdlib codec from deterministic pixels
@@ -174,7 +188,7 @@ def synth_png_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, PNG_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, PNG_SCHEMA)
 
 
 def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,7 +273,7 @@ def synth_gif_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, PNG_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, PNG_SCHEMA)
 
 
 def mm_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +381,7 @@ def synth_wav_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, WAV_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, WAV_SCHEMA)
 
 
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +447,7 @@ def synth_mulaw_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, WAV_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, WAV_SCHEMA)
 
 
 def mm_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,7 +537,7 @@ def synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, PNG_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, PNG_SCHEMA)
 
 
 def mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,7 +626,7 @@ def synth_avi_rle_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, PNG_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, PNG_SCHEMA)
 
 
 def mm_video_rle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,7 +741,7 @@ def synth_y4m_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, Y4M_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, Y4M_SCHEMA)
 
 
 def mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,7 +844,7 @@ def synth_jpeg_color_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, PNG_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, PNG_SCHEMA)
 
 
 def mm_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,7 +954,7 @@ def synth_adpcm_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id").mapInArrow(fn, WAV_SCHEMA)
+    return _synth_ids(docs).mapInArrow(fn, WAV_SCHEMA)
 
 
 def mm_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
