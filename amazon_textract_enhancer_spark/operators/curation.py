@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import _shingles
-from .io_util import t
+from .io_util import t, t_spread
 from .serving import TOKEN_PATTERN
 
 # Gopher-style thresholds (arXiv 2112.11446 §A1.1 uses 0.18 for the
@@ -192,7 +192,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-compares the REDACTED CONTENT itself, not just the
     counts). Fixture PII is planted deterministically (see
     ``_planted_pii``) because the synthetic corpus has none."""
-    docs = _planted_pii(t(spark, sf_dir, "documents"))
+    docs = _planted_pii(t_spread(spark, sf_dir, "documents"))
     n_emails, n_phones, n_ips, scrubbed = pii_scrub_cols(F.col("text"))
     return docs.select(
         "doc_id",
@@ -480,7 +480,7 @@ def embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ONE label-keyed agg. Per-vector stats are rounded to 6dp
     BEFORE the cross-vector aggregate so IEEE summation order can't
     move the oracle hash."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_spread(spark, sf_dir, "embeddings")
     v = F.col("embedding")
     scale = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)

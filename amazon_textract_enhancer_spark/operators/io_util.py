@@ -11,6 +11,44 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table and, WHEN the file is too small to give
+    the scan one split per core, round-robin it to the session's
+    default parallelism (r6, guide §2.6/§6).
+
+    Why: the fixture tables are single-row-group parquet files, so any
+    scan-rooted map stage — shingling, per-row md5 witnesses, the d²
+    covariance Generate — ran as ONE task with every other core idle
+    (measured: embed_covariance 3.2s → 1.4s, ann_lsh_portable 2.1s →
+    1.5s just from spreading). The condition is data-adaptive, not a
+    local[32] constant: estimated scan splits = file bytes /
+    spark.sql.files.maxPartitionBytes; at production sizes the
+    estimate exceeds the core count, the condition is false and the
+    plan is EXACTLY ``t()`` — no repartition, no cost. Only
+    map-side-heavy consumers opt in (an extra exchange is pure
+    overhead for cheap scans feeding an immediate aggregation)."""
+    import os
+
+    df = t(spark, sf_dir, name)
+    sc = spark.sparkContext
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return df
+    try:
+        max_pb = int(
+            spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+        )
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    est_splits = max(1, nbytes // max_pb)
+    if est_splits < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def parquet_row_count(sf_dir: str, name: str) -> int:
     """Row count of a testdata table from parquet FOOTER metadata only
     (pyarrow, no Spark job, no data pages read) — the in-sandbox

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .io_util import parquet_row_count, t
+from .io_util import parquet_row_count, t, t_spread
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -266,7 +266,7 @@ def ann_lsh_bucketed(
     (tests/test_lsh_recall.py plants cos≥0.99 dups and gates recall
     ≥ 0.9); mid-similarity search belongs to ann_pairs_threshold /
     ann_ivf_topk."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     if n_planes is None:
@@ -999,7 +999,7 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell — same order as the decimal's 10^18/1e6). The final
     # /1e6-as-double equals decimal→double: both are correctly rounded
     # conversions of the identical exact rational.
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     p_long = F.round(
@@ -1070,7 +1070,7 @@ def embed_random_projection(
     per row are the price of never materializing or broadcasting the
     matrix (swap in a broadcast sign table if CPU ever beats
     network — same output either way)."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     proj = F.expr(
@@ -1118,7 +1118,7 @@ def ann_lsh_portable(
     bucket — no shuffle), then TakeOrdered. At 10^12 vectors the
     bucketed table is committed and the probe is partition pruning —
     the IVF pattern with hyperplane geometry."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     proj = F.expr(
