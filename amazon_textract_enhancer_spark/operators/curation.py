@@ -714,20 +714,25 @@ def text_quality_lr(
     )
     docs_d = X.select("doc_id", "lang").distinct()
     # the feature and label tables are referenced by every iteration
-    # (two gradient aggs + two scoring joins each): persist them so
+    # (two gradient aggs + two scoring joins each): materialize them so
     # the tokenize→explode→normalize chain runs ONCE, not 5×. In
     # production these are committed pipeline tables (the
-    # fixture_tokens discipline); persist is the in-query analog.
+    # fixture_tokens discipline). r6: localCheckpoint instead of
+    # persist — persist registers in the session CacheManager, which
+    # matches by canonicalized PLAN, so a later invocation of the same
+    # query silently reused the previous invocation's cached features
+    # (cross-run result reuse, and a cache-retention leak across the
+    # ~90-query sweep); a checkpoint is private to this invocation.
     Xa = X.select("doc_id", "bucket", "x").unionByName(
         docs_d.select(
             "doc_id", F.lit("__b__").alias("bucket"), F.lit(1.0).alias("x")
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
     y = F.when(F.col("lang") == target_lang, 1.0).otherwise(0.0)
     wall = Window.partitionBy()
     D0 = docs_d.select("doc_id", "lang", y.alias("y")).withColumn(
         "n_docs", F.count(F.lit(1)).over(wall)
-    ).persist()
+    ).localCheckpoint(eager=True)
     # iteration 1: w == 0 -> p == 0.5 exactly, no scoring join needed
     r0 = D0.select("doc_id", (F.lit(0.5) - F.col("y")).alias("r"), "n_docs")
     g1 = (

@@ -947,10 +947,18 @@ def dedup_incremental(
     clones = existing.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + INCR_CLONE_OFFSET).alias("doc_id"), "text"
     )
+    # r6 (guide §2.4, §5): the r5 plan re-derived every shared input
+    # per consumer — `new` (2 scans) feeds nfp/remaining/base, and the
+    # existing-side shingle index feeds sizes, the hot list and the
+    # candidate join — 25 parquet scans and repeated shingle
+    # explode+distinct aggregations in the executed plan (4.3s at
+    # sf0.1). The three multi-consumer intermediates now materialize
+    # once per invocation; at corpus scale they are exactly the
+    # COMMITTED batch/index tables the docstring already prescribes.
     new = (
         docs.filter(~is_existing).select("doc_id", "text")
         .unionByName(clones)
-    )
+    ).localCheckpoint(eager=True)
 
     efp = existing.select(F.col("doc_id").alias("old_id"),
                           F.md5("text").alias("fp"))
@@ -962,10 +970,12 @@ def dedup_incremental(
     )
 
     remaining = new.join(exact.select("doc_id"), "doc_id", "left_anti")
-    shn = _shingles(remaining).select("doc_id", "shingle")
+    shn = _shingles(remaining).select("doc_id", "shingle").localCheckpoint(
+        eager=True
+    )
     she = _shingles(existing).select(
         F.col("doc_id").alias("old_id"), "shingle"
-    )
+    ).localCheckpoint(eager=True)
     # full-list sizes FIRST (exact denominators), then drop hot
     # shingles from both candidate sides
     sz_n = shn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_n"))

@@ -695,7 +695,8 @@ EVAL_K = 10           # ranking depth for recall@k / nDCG@k
 
 def c5_search_bm25_batch(spark: SparkSession, sf_dir: str,
                          n_queries: int = EVAL_N_QUERIES,
-                         k: int = EVAL_K) -> DataFrame:
+                         k: int = EVAL_K,
+                         materialize: bool = True) -> DataFrame:
     """C5 tier (ix) — BATCH BM25 retrieval (★): score a whole query
     batch against the corpus in ONE plan instead of one job per query
     (the lexical analog of ``ann_knn_join``). Queries are known-item:
@@ -724,11 +725,24 @@ def c5_search_bm25_batch(spark: SparkSession, sf_dir: str,
     terms_arr = F.filter(
         F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
     )
-    dl = docs.select("doc_id", F.size(terms_arr).alias("dl"))
+    # r6 (guide §2.4, §5): dl, qterms and tf each feed two consumers
+    # (dl → corpus stats + the score join; qterms → the semi-join
+    # pruner + the score fan-out; tf → document frequencies + scores),
+    # and each re-derivation re-tokenized the corpus — 7 parquet scans
+    # in the r5 executed plan. They materialize once per invocation;
+    # in the production/indexed form (c5_search_bm25_batch_indexed)
+    # these are exactly the committed tokens/doc_lengths tables and
+    # the broadcast query batch. ``materialize=False`` keeps the whole
+    # derivation in one lazy plan so tests can assert the
+    # pre-materialization shape (semi-join pruning before the census).
+    def _mat(df):
+        return df.localCheckpoint(eager=True) if materialize else df
+
+    dl = _mat(docs.select("doc_id", F.size(terms_arr).alias("dl")))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qterms = (
+    qterms = _mat(
         docs.filter(F.col("doc_id") < n_queries)
         .select(
             F.col("doc_id").alias("qid"),
@@ -739,7 +753,9 @@ def c5_search_bm25_batch(spark: SparkSession, sf_dir: str,
     toks = tokenize(docs, "text", ["doc_id"]).join(
         F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _mat(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats)).select(
         "term",

@@ -1293,7 +1293,13 @@ def _pq_train_codebooks_df(
                 F.transform("a", lambda st: st["mu"]).alias("cv"),
             )
         )
-    return cents
+    # r6 (guide §2.4, §5): the trained codebook (M·K rows — kilobytes)
+    # feeds every consumer through broadcast crossJoins (ADC builds it
+    # twice, the distortion audit once more); without materialization
+    # each broadcast build re-ran the whole unrolled Lloyd chain over
+    # the corpus. One checkpoint per invocation — the in-query analog
+    # of the committed pq_codebook table the IVF-PQ build writes.
+    return cents.localCheckpoint(eager=True)
 
 
 def _pq_codebook_row(cents: DataFrame) -> DataFrame:

@@ -302,7 +302,10 @@ def bpe_train_merges(docs, text_col: str = "text", rounds: int = 3):
     # "cat" -> " c a t " (space-padded symbol string)
     vocab = words.select(
         F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "c"
-    ).cache()
+    ).localCheckpoint(eager=True)  # r6: was .cache() — plan-keyed
+    # CacheManager reuse leaked across invocations; checkpoint is
+    # per-invocation (same one-materialization win inside the rounds
+    # loop, no cross-run reuse)
     spark = docs.sparkSession
     merges = []
     cur = vocab

@@ -81,7 +81,10 @@ def test_batch_plan_broadcasts_batch_and_prunes_postings(spark):
     broadcasts (≥2 broadcast joins), the tf census is LeftSemi-pruned
     to the batch's terms BEFORE aggregation, and nothing in the plan
     is a cartesian/nested-loop product."""
-    df = S.c5_search_bm25_batch(spark, SF_DIR)
+    # materialize=False keeps the derivation in one lazy plan (the r6
+    # registry form checkpoints dl/qterms/tf, which would hide the
+    # semi-join inside the materialization job)
+    df = S.c5_search_bm25_batch(spark, SF_DIR, materialize=False)
     plan = executed_plan(df)
     assert n_broadcast_joins(df) >= 2, plan
     assert "LeftSemi" in plan, plan
