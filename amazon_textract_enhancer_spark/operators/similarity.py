@@ -854,6 +854,11 @@ def dedup_semantic(
     import pandas as pd
 
     n_blocks = 4
+    # r6 (guide §2.4, §5): the assignment table feeds BOTH cogroup
+    # sides; without materialization the whole Lloyd chain + argmin
+    # re-ran per side (8 parquet scans measured). One checkpoint per
+    # invocation — the committed cluster-assignment table at scale.
+    assigned = assigned.localCheckpoint(eager=True)
     blocked = assigned.withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     )
@@ -1344,10 +1349,16 @@ def _pq_m_for_warehouse(spark: SparkSession, io, warehouse: str) -> int:
     job per (warehouse, commit) instead of one per search call (r5
     review: probed search is the serving path — a per-query metadata
     job is pure added latency). Validity key = the codebook manifest's
-    (committed_at_unix, rows), a file read with no Spark job; a
-    recommitted codebook misses and re-derives."""
+    (snapshot_seq, committed_at_unix, rows), a file read with no Spark
+    job; a recommitted codebook misses and re-derives. snapshot_seq is
+    strictly monotonic per commit (ADVICE r5: committed_at_unix has
+    1-second resolution, so a same-second rebuild that changed m_sub
+    while keeping M*K constant could have served a stale subspace
+    count on the old (time, rows) stamp)."""
     m = io.read_manifest("pq_codebook")
-    stamp = None if m is None else (m.get("committed_at_unix"), m.get("rows"))
+    stamp = None if m is None else (
+        m.get("snapshot_seq"), m.get("committed_at_unix"), m.get("rows")
+    )
     hit = _PQ_M_CACHE.get(warehouse)
     if hit is not None and stamp is not None and hit[0] == stamp:
         return hit[1]

@@ -236,7 +236,12 @@ def main() -> None:
             r = run_master(master, op, corpus_dir, reps)
             walls = list(r["walls"])
             steals = [r["steal_pct"]] * 1
-            if merge and op in prev and master in prev[op]:
+            if (merge and op in prev and master in prev[op]
+                    # ADVICE r5: only merge sittings measured on the
+                    # SAME corpus — a resized corpus (n_docs/n_pairs
+                    # changed) would silently blend incomparable walls
+                    and prev[op][master].get("n_docs") == r["n_docs"]
+                    and prev[op][master].get("n_pairs") == r["n_pairs"]):
                 walls = prev[op][master]["walls"] + walls
                 steals = prev[op][master].get(
                     "steal_pct_sittings", [prev[op][master]["steal_pct"]]

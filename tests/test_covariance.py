@@ -56,6 +56,8 @@ def test_covariance_recovers_planted_principal_axis(spark, monkeypatch):
         "vec_id bigint, embedding array<float>",
     )
     monkeypatch.setattr(S, "t", lambda _s, _d, _n: df)
+    # r6: embed_covariance reads through the size-adaptive t_spread
+    monkeypatch.setattr(S, "t_spread", lambda _s, _d, _n: df)
     rows = S.embed_covariance(spark, SF_DIR).collect()
     got = _cov_matrix(rows, d)
     w, v = np.linalg.eigh(got)

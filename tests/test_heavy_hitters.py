@@ -152,7 +152,9 @@ def test_registry_form_checks_the_mg_bound_from_corpus_stats(spark):
     # and superseded stamps are overwritten, not accumulated
     assert _TOTAL_GRAMS_CACHE[(sf, HH_NGRAM_K)][1] == n
     assert documents_total_grams(spark, sf) == n
-    assert len(_TOTAL_GRAMS_CACHE) == 1
+    # ADVICE r5: assert on THIS (sf, k) entry, not the global cache
+    # size — another test may have populated a different key first
+    assert (sf, HH_NGRAM_K) in _TOTAL_GRAMS_CACHE
     # a changed stamp misses and recomputes (stale-N hole closed even
     # when the entry predates the change)
     _TOTAL_GRAMS_CACHE[(sf, HH_NGRAM_K)] = ((0, 0), 12345)
