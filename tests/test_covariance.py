@@ -84,12 +84,23 @@ def test_covariance_shuffle_is_bounded_by_key_count(spark):
 
 
 def test_random_projection_is_zero_exchange(spark):
-    """The sign matrix is derived per-row (md5), so the whole plan is
-    scan + project + posexplode — no Exchange of any kind."""
+    """The sign matrix is derived per-row (md5), so the plan is scan +
+    project + posexplode with no data-sized Exchange. r6: the one
+    allowed exchange is the size-adaptive input re-spread (a RoundRobin
+    repartition BELOW the projection, fixture-scale only — at
+    production sizes t_spread's condition is false and the plan is
+    exchange-free); the projected output itself may never shuffle."""
     from amazon_textract_enhancer_spark.plans import n_exchanges
 
     df = S.embed_random_projection(spark, SF_DIR)
-    assert n_exchanges(df) == 0, executed_plan(df)
+    n = n_exchanges(df)
+    assert n <= 1, executed_plan(df)
+    if n == 1:
+        plan = executed_plan(df)
+        assert "RoundRobinPartitioning" in plan, plan
+        # the re-spread sits below the Generate (printed after it):
+        # nothing above the projection shuffles
+        assert plan.index("Generate") < plan.index("RoundRobinPartitioning"), plan
 
 
 def test_random_projection_preserves_distances_in_aggregate(spark):

@@ -86,10 +86,15 @@ def test_pii_scrub_redacts_and_counts(spark):
 
 
 def test_pii_scrub_query_is_map_only(spark):
-    """regexp count+replace is pure codegen: the whole query must be
-    scan → project with ZERO exchanges."""
+    """regexp count+replace is pure codegen: scan → project with no
+    data-derived shuffle. r6: the one allowed exchange is t_spread's
+    size-adaptive RoundRobin input re-spread (fixture-scale only;
+    false at production sizes)."""
     df = C.text_pii_scrub(spark, SF_DIR)
-    assert n_exchanges(df) == 0, executed_plan(df)
+    n = n_exchanges(df)
+    assert n <= 1, executed_plan(df)
+    if n == 1:
+        assert "RoundRobinPartitioning" in executed_plan(df)
     assert df.filter("n_emails > 0").count() > 0  # the plant is live
 
 
@@ -164,20 +169,26 @@ def test_quantize_zero_vector_is_safe(spark):
     )
     import amazon_textract_enhancer_spark.operators.curation as cur
 
-    orig = cur.t
+    orig, orig_sp = cur.t, cur.t_spread
     try:
         cur.t = lambda _s, _d, _n: df
+        cur.t_spread = lambda _s, _d, _n: df  # r6: reads via t_spread
         row = cur.embed_quantize_error(spark, SF_DIR).collect()[0]
     finally:
-        cur.t = orig
+        cur.t, cur.t_spread = orig, orig_sp
     assert row["avg_rmse"] == 0.0 and row["max_abs_err"] == 0.0
 
 
 def test_quantize_is_single_agg_exchange(spark):
     """All per-vector math is higher-order expressions in the scan
-    projection; the only shuffle is the label rollup."""
+    projection; the only data shuffle is the label rollup (plus, r6,
+    t_spread's size-adaptive RoundRobin input re-spread at fixture
+    scale)."""
     df = C.embed_quantize_error(spark, SF_DIR)
-    assert n_exchanges(df) <= 1, executed_plan(df)
+    n = n_exchanges(df)
+    assert n <= 2, executed_plan(df)
+    if n == 2:
+        assert "RoundRobinPartitioning" in executed_plan(df)
 
 
 # ---------------------------------------------------------- temperature
