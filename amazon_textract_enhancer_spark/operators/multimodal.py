@@ -150,7 +150,7 @@ PNG_SCHEMA = StructType(
 )
 
 
-def _synth_ids(docs: DataFrame) -> DataFrame:
+def _synth_ids(docs: DataFrame, spread: bool = True) -> DataFrame:
     """doc_id projection, re-spread to the session's default
     parallelism before payload synthesis (r6, guide §2.6/§8): the
     fixture scan is one parquet row group → ONE task, so the entire
@@ -159,7 +159,15 @@ def _synth_ids(docs: DataFrame) -> DataFrame:
     exchange moves ONLY the 8-byte doc_id — payloads are synthesized
     AFTER it, so the heavy bytes still never shuffle ("shuffle keys,
     not payloads"); width follows defaultParallelism (scale-adaptive:
-    the cluster's core count, never a constant)."""
+    the cluster's core count, never a constant).
+
+    Only the expensive codecs opt in (``spread=True``: JPEG gray +
+    color, AVI RLE) — for the cheap per-row codecs (WAV, µ-law, Y4M,
+    ADPCM, GIF, PNG) the exchange + 32-task overhead exceeds the codec
+    work and an interleaved A/B measured them ~0.2-0.3s WORSE spread
+    (e.g. mm_audio_stats 0.36s plain vs 0.65s spread at sf0.1)."""
+    if not spread:
+        return docs.select("doc_id")
     sc = docs.sparkSession.sparkContext
     return docs.select("doc_id").repartition(sc.defaultParallelism)
 
@@ -188,7 +196,7 @@ def synth_png_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return _synth_ids(docs).mapInArrow(fn, PNG_SCHEMA)
+    return _synth_ids(docs, spread=False).mapInArrow(fn, PNG_SCHEMA)
 
 
 def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,7 +281,7 @@ def synth_gif_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return _synth_ids(docs).mapInArrow(fn, PNG_SCHEMA)
+    return _synth_ids(docs, spread=False).mapInArrow(fn, PNG_SCHEMA)
 
 
 def mm_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,7 +389,7 @@ def synth_wav_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return _synth_ids(docs).mapInArrow(fn, WAV_SCHEMA)
+    return _synth_ids(docs, spread=False).mapInArrow(fn, WAV_SCHEMA)
 
 
 def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,7 +455,7 @@ def synth_mulaw_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return _synth_ids(docs).mapInArrow(fn, WAV_SCHEMA)
+    return _synth_ids(docs, spread=False).mapInArrow(fn, WAV_SCHEMA)
 
 
 def mm_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,7 +749,7 @@ def synth_y4m_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return _synth_ids(docs).mapInArrow(fn, Y4M_SCHEMA)
+    return _synth_ids(docs, spread=False).mapInArrow(fn, Y4M_SCHEMA)
 
 
 def mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,7 +962,7 @@ def synth_adpcm_payloads(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "payload"],
             )
 
-    return _synth_ids(docs).mapInArrow(fn, WAV_SCHEMA)
+    return _synth_ids(docs, spread=False).mapInArrow(fn, WAV_SCHEMA)
 
 
 def mm_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
