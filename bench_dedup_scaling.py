@@ -53,9 +53,17 @@ BASE = os.environ.get(
     else os.path.join(REPO, ".bench", "dedup"),
 )
 REPLICAS = 10
-GROUPS = 10
+# r6: group count is a knob — the round-6 dedup restructures run ~2x
+# faster, so the 500k corpus (GROUPS=10) re-exposed the per-job fixed
+# floor at local[8] (14s walls, eff 0.70); GROUPS=40 → 2M docs restores
+# the amortization VERDICT r5 prescribed (1-2M docs). The corpus dir is
+# suffixed with the group count so differently-sized corpora never share
+# a sentinel, and the merge guard keys on n_docs/n_pairs.
+GROUPS = int(os.environ.get("ATES_DEDUP_GROUPS", "10"))
 DIR_SMALL = os.path.join(BASE, "small")   # 50k docs
-DIR_LARGE = os.path.join(BASE, "large")   # 500k docs
+DIR_LARGE = os.path.join(
+    BASE, "large" if GROUPS == 10 else f"large-g{GROUPS}"
+)  # 50k * GROUPS docs
 MASTERS = ("local[2]", "local[8]")
 OPS = {
     "dedup_minhash_lsh": DIR_LARGE,
