@@ -738,17 +738,34 @@ def c5_search_bm25_batch(spark: SparkSession, sf_dir: str,
     def _mat(df):
         return df.localCheckpoint(eager=True) if materialize else df
 
-    dl = _mat(docs.select("doc_id", F.size(terms_arr).alias("dl")))
+    # dl and qterms are independent derivations: their materialization
+    # jobs overlap from a 2-thread pool (guide §2.6) instead of running
+    # back-to-back.
+    def _mk_dl():
+        return _mat(docs.select("doc_id", F.size(terms_arr).alias("dl")))
+
+    def _mk_qterms():
+        return _mat(
+            docs.filter(F.col("doc_id") < n_queries)
+            .select(
+                F.col("doc_id").alias("qid"),
+                F.explode(F.slice(terms_arr, 1, EVAL_QLEN)).alias("term"),
+            )
+            .distinct()
+        )
+
+    if materialize:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            dl_f = pool.submit(_mk_dl)
+            qt_f = pool.submit(_mk_qterms)
+            dl = dl_f.result()
+            qterms = qt_f.result()
+    else:
+        dl, qterms = _mk_dl(), _mk_qterms()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    qterms = _mat(
-        docs.filter(F.col("doc_id") < n_queries)
-        .select(
-            F.col("doc_id").alias("qid"),
-            F.explode(F.slice(terms_arr, 1, EVAL_QLEN)).alias("term"),
-        )
-        .distinct()
     )
     toks = tokenize(docs, "text", ["doc_id"]).join(
         F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
