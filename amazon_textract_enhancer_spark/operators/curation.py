@@ -704,25 +704,34 @@ def text_quality_lr(
     the residuals back onto the cached feature table — no driver
     traffic, no UDF, T is a small constant (2)."""
     feats = _hashed_bigram_feats(spark, sf_dir)
+    # r6 (guide §2.4): the (doc, bucket) count table is the ONLY part
+    # that tokenizes the corpus and md5-hashes every bigram; checkpoint
+    # it so the two derived checkpoints below (features Xa, labels D0)
+    # are cheap single-exchange jobs off the count table. Previously
+    # docs_d hung off the un-materialized X, so building D0 re-ran the
+    # whole tokenize→explode→md5 chain — a SECOND full corpus pass per
+    # invocation just to list the doc ids.
     cnt = feats.groupBy("doc_id", "lang", "bucket").agg(
         F.count(F.lit(1)).cast("double").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     wdoc = Window.partitionBy("doc_id")
     X = cnt.select(
         "doc_id", "lang", "bucket",
         (F.col("c") / F.sum("c").over(wdoc)).alias("x"),
     )
-    docs_d = X.select("doc_id", "lang").distinct()
+    # identical to X.select("doc_id","lang").distinct(): X is a 1:1
+    # projection of cnt
+    docs_d = cnt.select("doc_id", "lang").distinct()
     # the feature and label tables are referenced by every iteration
     # (two gradient aggs + two scoring joins each): materialize them so
-    # the tokenize→explode→normalize chain runs ONCE, not 5×. In
-    # production these are committed pipeline tables (the
-    # fixture_tokens discipline). r6: localCheckpoint instead of
-    # persist — persist registers in the session CacheManager, which
-    # matches by canonicalized PLAN, so a later invocation of the same
-    # query silently reused the previous invocation's cached features
-    # (cross-run result reuse, and a cache-retention leak across the
-    # ~90-query sweep); a checkpoint is private to this invocation.
+    # the per-doc normalization runs ONCE, not 5×. In production these
+    # are committed pipeline tables (the fixture_tokens discipline).
+    # r6: localCheckpoint instead of persist — persist registers in the
+    # session CacheManager, which matches by canonicalized PLAN, so a
+    # later invocation of the same query silently reused the previous
+    # invocation's cached features (cross-run result reuse, and a
+    # cache-retention leak across the ~90-query sweep); a checkpoint is
+    # private to this invocation.
     Xa = X.select("doc_id", "bucket", "x").unionByName(
         docs_d.select(
             "doc_id", F.lit("__b__").alias("bucket"), F.lit(1.0).alias("x")
