@@ -702,59 +702,101 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _round_dist() -> Column:
-    """6dp-rounded squared euclidean distance between columns v and
-    cv — the rounding pins every argmin decision across engines."""
-    return F.round(
-        F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+def _cb_assign(vcol: str = "v", cbcol: str = "cb") -> Column:
+    """struct(d, c) of the winning centroid for row vector ``vcol``
+    against the broadcast ONE-ROW codebook ``cbcol`` (sorted
+    array<struct<cent_id, cv>>): 6dp-rounded squared distance, ties →
+    smallest cent_id (struct comparison is d first, then c) — the
+    exact ``min_by(cent_id, struct(d, c))`` argmin of the r5
+    broadcast-join form, computed IN-ROW so the corpus never crosses
+    an exchange to be assigned (r6, guide §2.3: the r5 form shuffled
+    every row — carrying its full vector — through a groupBy(vec_id)
+    per Lloyd round just to reduce the k joined copies)."""
+    # named_struct, not struct(...alias...): aliases on expressions
+    # built inside HOF lambdas are silently dropped by the analyzer in
+    # some nestings, auto-naming the field colN
+    return F.array_min(
+        F.transform(
+            F.col(cbcol),
+            lambda e: F.named_struct(
+                F.lit("d"),
+                F.round(
+                    F.aggregate(
+                        F.zip_with(F.col(vcol), e["cv"],
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ),
+                F.lit("c"),
+                e["cent_id"],
+            ),
+        )
     )
 
 
 def _lloyd_centroids(emb: DataFrame, k: int, n_iters: int) -> DataFrame:
-    """``n_iters`` unrolled Lloyd rounds; returns the final
-    (cent_id, cv) table. Init = the k smallest vec_ids' vectors;
-    assignment by 6dp-rounded distance (ties -> smallest cent_id),
-    means re-rounded to 6dp, so the trajectory is engine-independent.
-    Per round: one k-row broadcast + map-side argmin + one
-    (cluster, dim) mean agg — no driver traffic inside the loop."""
+    """``n_iters`` unrolled Lloyd rounds; returns the final codebook as
+    ONE row ``cb: array<struct<cent_id, cv>>`` sorted by cent_id (an
+    empty cluster simply has no entry — same as the r5 row form). Init
+    = the k smallest vec_ids' vectors; assignment by 6dp-rounded
+    distance (ties -> smallest cent_id), means re-rounded to 6dp, so
+    the trajectory is engine-independent.
+
+    r6 shape (guide §2.3/§2.4): per round the corpus is scanned once,
+    assigned IN-ROW against the broadcast 1-row codebook
+    (``_cb_assign``), and only (cluster, dim, partial-sum) rows reach
+    the mean exchange — the r5 form's per-round groupBy(vec_id)
+    shuffled every vector through an exchange just to argmin the k
+    broadcast-joined copies, and its two-step array rebuild added a
+    third exchange. 2 exchanges per round, none corpus-sized."""
     from pyspark.sql import Window
 
-    cents = emb.orderBy("vec_id").limit(k).select(
+    seeds = emb.orderBy("vec_id").limit(k).select(
         (F.row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int")
         .alias("cent_id"),
         F.col("v").alias("cv"),
     )
+    # the 1-row codebook is checkpointed per round (kilobytes): without
+    # it each round's broadcast build re-executes every earlier round's
+    # chain nested inside one deep job tree (interleaved A/B at sf0.1:
+    # ~1.7s → ~1.5s for embed_kmeans)
+    cb = seeds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("cb")
+    ).localCheckpoint(eager=True)
     for _ in range(n_iters):
-        assigned = (
-            emb.crossJoin(F.broadcast(cents))
-            .groupBy("vec_id")
-            .agg(
-                F.first("v").alias("v"),
-                F.min_by(
-                    "cent_id",
-                    F.struct(_round_dist().alias("d"),
-                             F.col("cent_id").alias("c")),
-                ).alias("cluster"),
-            )
+        assigned = emb.crossJoin(F.broadcast(cb)).select(
+            "v", _cb_assign().getField("c").alias("cluster")
         )
-        cents = (
+        flat = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg("x"), 6).alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("a"))
-            .select(
-                F.col("cluster").alias("cent_id"),
-                F.transform("a", lambda s: s["m"]).alias("cv"),
-            )
         )
-    return cents
+        # collapse (cluster, dim, m) straight back into the 1-row
+        # codebook: array_sort orders by (cluster, dim), so the
+        # filter-per-cluster reshape reads means in dim order
+        cb = flat.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "dim", "m"))
+            ).alias("fl")
+        ).select(
+            F.transform(
+                F.array_distinct(F.transform("fl", lambda e: e["cluster"])),
+                lambda c: F.named_struct(
+                    F.lit("cent_id"),
+                    c.cast("int"),
+                    F.lit("cv"),
+                    F.transform(
+                        F.filter("fl", lambda e: e["cluster"] == c),
+                        lambda e: e["m"],
+                    ),
+                ),
+            ).alias("cb")
+        ).localCheckpoint(eager=True)
+    return cb
 
 
 def embed_kmeans(
@@ -785,20 +827,15 @@ def embed_kmeans(
     "iterate until budget"). Returns per-cluster size and inertia —
     the convergence audit every clustering run reports."""
     emb = _emb_double(spark, sf_dir)
-    cents = _lloyd_centroids(emb, k, n_iters)
-    final = (
-        emb.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                "cent_id",
-                F.struct(_round_dist().alias("d"),
-                         F.col("cent_id").alias("c")),
-            ).alias("cluster"),
-            F.min(_round_dist()).alias("d"),
-        )
+    cb = _lloyd_centroids(emb, k, n_iters)
+    # r6: final assignment in-row too (inline(array(struct)) evaluates
+    # the argmin ONCE per row and yields its d/c fields as columns) —
+    # the r5 groupBy(vec_id) shuffled the whole corpus one more time
+    # just to reduce the k broadcast-joined copies
+    final = emb.crossJoin(F.broadcast(cb)).select(
+        F.inline(F.array(_cb_assign()))
     )
-    return final.groupBy("cluster").agg(
+    return final.groupBy(F.col("c").alias("cluster")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(F.sum("d"), 2).alias("inertia"),
     )
@@ -831,18 +868,12 @@ def dedup_semantic(
     broadcast. tau defaults to PAIR_THRESHOLD's 0.45 — the fixture
     corpus's planted near-dup band."""
     emb = _emb_double(spark, sf_dir)
-    cents = _lloyd_centroids(emb, k, n_iters)
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.min_by(
-                "cent_id",
-                F.struct(_round_dist().alias("d"),
-                         F.col("cent_id").alias("c")),
-            ).alias("cluster"),
-        )
+    cb = _lloyd_centroids(emb, k, n_iters)
+    # r6: in-row assignment against the broadcast 1-row codebook — the
+    # r5 groupBy(vec_id) shuffled every vector (payload included)
+    # through an exchange just to argmin the k broadcast-joined copies
+    assigned = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "v", _cb_assign().getField("c").alias("cluster")
     )
     # within-cluster pairs via the ann_pairs_threshold NumPy cogroup
     # kernel, sub-blocked so a whale cluster splits into bounded
@@ -1237,18 +1268,6 @@ def _pq_train_codebooks_df(
             f"PQ codebook training needs m_sub/k/n_iters >= 1, got "
             f"{m_sub}/{k}/{n_iters}"
         )
-    sub = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(s).cast("int").alias("s"),
-                    _pq_sub_slice(F.col("v"), s, m_sub).alias("v"),
-                )
-                for s in range(m_sub)
-            ])
-        ).alias("e"),
-    ).select("vec_id", "e.s", "e.v")
     seeds = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -1259,7 +1278,7 @@ def _pq_train_codebooks_df(
             "v",
         )
     )
-    cents = seeds.select(
+    scents = seeds.select(
         "cent_id",
         F.explode(
             F.array(*[
@@ -1271,57 +1290,151 @@ def _pq_train_codebooks_df(
             ])
         ).alias("e"),
     ).select("e.s", "cent_id", "e.cv")
-    for _ in range(n_iters):
-        assigned = (
-            sub.join(F.broadcast(cents), "s")
-            .groupBy("vec_id", "s")
-            .agg(
-                F.first("v").alias("v"),
-                F.min_by(
-                    "cent_id",
-                    F.struct(_round_dist().alias("d"),
-                             F.col("cent_id").alias("c")),
-                ).alias("cluster"),
+    # ONE-ROW training codebook: array<struct<s, cent_id, cv>> sorted
+    # by (s, cent_id) — the training-loop sibling of _pq_codebook_row.
+    # Checkpointed per round (kilobytes): without it each round's
+    # broadcast build re-executes every earlier round's chain nested
+    # inside one deep job tree (interleaved A/B: ~2.0s → ~1.65s for
+    # the 2-round train at sf0.1)
+    cb = scents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("s", "cent_id", "cv")))
+        .alias("cb")
+    ).localCheckpoint(eager=True)
+
+    def _sub_assign(s: int) -> Column:
+        # argmin code of subvector s against the row's broadcast cb:
+        # 6dp-rounded distance, ties -> smallest cent_id (struct
+        # comparison d-then-c) — identical to the r5 min_by form
+        sv = _pq_sub_slice(F.col("v"), s, m_sub)
+        # named_struct — see _cb_assign on lambda-scope aliases
+        return F.array_min(
+            F.transform(
+                F.filter("cb", lambda e: e["s"] == F.lit(s)),
+                lambda e: F.named_struct(
+                    F.lit("d"),
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(sv, e["cv"],
+                                       lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        6,
+                    ),
+                    F.lit("c"),
+                    e["cent_id"],
+                ),
             )
+        ).getField("c")
+
+    for _ in range(n_iters):
+        # r6 (guide §2.3): assignment happens IN-ROW against the 1-row
+        # broadcast codebook — the r5 form shuffled every (vec, s)
+        # subvector through a groupBy(vec_id, s) exchange per round
+        # just to argmin the k broadcast-joined copies. The mean agg
+        # reads (s, dim) straight off the full-vector position
+        # (s = i0 div ds, dim = i0 mod ds — the trailing d mod m_sub
+        # dims stay excluded via the slice), so the per-vec subvector
+        # explode is gone too. 2 exchanges per round, none
+        # corpus-sized.
+        ds = (F.size("v") / m_sub).cast("int")
+        # two selects on purpose: the codes array must be BOUND in a
+        # Project below the posexplode Generate — a single select puts
+        # every non-generator expression in the Project ABOVE the
+        # Generate, re-running the m_sub argmins once per exploded
+        # element (a d× interpreted blowup, measured 2s → 14s)
+        with_cl = emb.crossJoin(F.broadcast(cb)).select(
+            "v",
+            F.array(*[_sub_assign(s) for s in range(m_sub)]).alias("cl"),
+            ds.alias("ds"),
         )
-        cents = (
-            assigned.select("s", "cluster",
-                            F.posexplode("v").alias("dim", "x"))
+        assigned = with_cl.select(
+            "cl",
+            "ds",
+            F.posexplode(
+                F.slice("v", 1, F.col("ds") * m_sub)
+            ).alias("i0", "x"),
+        )
+        flat = (
+            assigned.select(
+                (F.col("i0") / F.col("ds")).cast("int").alias("s"),
+                F.element_at(
+                    "cl", (F.col("i0") / F.col("ds")).cast("int") + 1
+                ).alias("cluster"),
+                F.pmod("i0", "ds").alias("dim"),
+                "x",
+            )
             .groupBy("s", "cluster", "dim")
             .agg(F.round(F.avg("x"), 6).alias("mu"))
-            .groupBy("s", "cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu")))
-                 .alias("a"))
-            .select(
-                "s",
-                F.col("cluster").alias("cent_id"),
-                F.transform("a", lambda st: st["mu"]).alias("cv"),
-            )
         )
+        # collapse (s, cluster, dim, mu) straight back into the 1-row
+        # codebook: array_sort orders by (s, cluster, dim), so the
+        # filter-per-(s, cluster) reshape reads means in dim order
+        cb = flat.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("s", "cluster", "dim", "mu"))
+            ).alias("fl")
+        ).select(
+            F.transform(
+                F.array_distinct(
+                    F.transform(
+                        "fl",
+                        lambda e: F.named_struct(
+                            F.lit("s"), e["s"], F.lit("c"), e["cluster"]
+                        ),
+                    )
+                ),
+                lambda p: F.named_struct(
+                    F.lit("s"),
+                    p["s"].cast("int"),
+                    F.lit("cent_id"),
+                    p["c"].cast("int"),
+                    F.lit("cv"),
+                    F.transform(
+                        F.filter(
+                            "fl",
+                            lambda e: (e["s"] == p["s"])
+                            & (e["cluster"] == p["c"]),
+                        ),
+                        lambda e: e["mu"],
+                    ),
+                ),
+            ).alias("cb")
+        ).localCheckpoint(eager=True)
     # r6 (guide §2.4, §5): the trained codebook (M·K rows — kilobytes)
     # feeds every consumer through broadcast crossJoins (ADC builds it
     # twice, the distortion audit once more); without materialization
     # each broadcast build re-ran the whole unrolled Lloyd chain over
-    # the corpus. One checkpoint per invocation — the in-query analog
-    # of the committed pq_codebook table the IVF-PQ build writes.
-    return cents.localCheckpoint(eager=True)
+    # the corpus. The final round's checkpoint above IS the one
+    # materialization per invocation — the in-query analog of the
+    # committed pq_codebook table the IVF-PQ build writes. inline()
+    # restores the (s, cent_id, cv) row contract off the checkpointed
+    # 1-row codebook — no exchange.
+    return cb.select(F.inline("cb"))
 
 
 def _pq_codebook_row(cents: DataFrame) -> DataFrame:
     """Collapse (s, cent_id, cv) into ONE row
     ``codebook: array<array<array<double>>>`` (subspace → code →
     centroid) so encode/search broadcast it and stay shuffle-free.
-    M·K·(d/M) doubles — kilobytes at any corpus size."""
-    per_s = (
-        cents.groupBy("s")
-        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cv")))
-             .alias("a"))
-        .select("s", F.transform("a", lambda x: x["cv"]).alias("cvs"))
+    M·K·(d/M) doubles — kilobytes at any corpus size. r6: ONE
+    all-rows collect instead of a groupBy("s") + groupBy() pair — the
+    table is M·K rows, so the two-level shuffle bought nothing but an
+    extra stage barrier; the nested reshape happens in-row on the
+    single collected row (sorted by (s, cent_id), so subspaces come
+    out s-ascending and codes cent_id-ascending — identical layout)."""
+    fl = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("s", "cent_id", "cv")))
+        .alias("fl")
     )
-    return (
-        per_s.groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("s", "cvs"))).alias("b"))
-        .select(F.transform("b", lambda x: x["cvs"]).alias("codebook"))
+    return fl.select(
+        F.transform(
+            F.array_distinct(F.transform("fl", lambda e: e["s"])),
+            lambda s: F.transform(
+                F.filter("fl", lambda e: e["s"] == s),
+                lambda e: e["cv"],
+            ),
+        ).alias("codebook")
     )
 
 
