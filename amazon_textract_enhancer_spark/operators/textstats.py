@@ -291,6 +291,20 @@ def bpe_train_merges(docs, text_col: str = "text", rounds: int = 3):
     round (the reference algorithm re-scans until fixpoint; rounds can
     simply be increased — each later round re-finds the remaining
     occurrences). Ties break lexicographically on the pair."""
+    merges, _cur = _bpe_train(docs, text_col, rounds)
+    return docs.sparkSession.createDataFrame(
+        merges, "round int, pair string, merged string, pair_count long"
+    )
+
+
+def _bpe_train(docs, text_col: str = "text", rounds: int = 3):
+    """Shared training core: returns ``(merges, cur)`` where merges is
+    the driver-side list of (round, pair, merged, count) and ``cur``
+    is the distinct-word table (w, s, c) with every learned merge
+    already applied to the padded symbol string ``s`` — i.e. the
+    encode table the apply side needs, for free (r6: the apply-side
+    kernel used to re-tokenize the corpus, re-distinct the words and
+    re-run the replace chain to rebuild exactly this table)."""
     words = (
         docs.select(
             F.explode(F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)).alias("w")
@@ -301,12 +315,13 @@ def bpe_train_merges(docs, text_col: str = "text", rounds: int = 3):
     )
     # "cat" -> " c a t " (space-padded symbol string)
     vocab = words.select(
-        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "c"
+        "w",
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+        "c",
     ).localCheckpoint(eager=True)  # r6: was .cache() — plan-keyed
     # CacheManager reuse leaked across invocations; checkpoint is
     # per-invocation (same one-materialization win inside the rounds
     # loop, no cross-run reuse)
-    spark = docs.sparkSession
     merges = []
     cur = vocab
     for r in range(1, rounds + 1):
@@ -335,12 +350,11 @@ def bpe_train_merges(docs, text_col: str = "text", rounds: int = 3):
         merged = pair.replace(" ", "")
         merges.append((r, pair, merged, cnt))
         cur = cur.select(
-            F.replace("s", F.lit(f" {pair} "), F.lit(f" {merged} ")).alias("s"), "c"
+            "w",
+            F.replace("s", F.lit(f" {pair} "), F.lit(f" {merged} ")).alias("s"),
+            "c",
         )
-    vocab.unpersist()
-    return spark.createDataFrame(
-        merges, "round int, pair string, merged string, pair_count long"
-    )
+    return merges, cur
 
 
 def text_bpe_train_merges(spark, sf_dir):
@@ -379,17 +393,22 @@ def _bpe_word_stream_and_codes(docs):
     """Shared apply-side kernel for the BPE family: (per-occurrence
     word stream with doc_id+lang, DISTINCT-word -> subword-count
     encode table under the first 3 learned merges). The only driver
-    traffic is the 3-row merge table (the model artifact)."""
-    mrows = bpe_train_merges(docs, "text", rounds=3).collect()
+    traffic is the 3-row merge table (the model artifact). r6 (guide
+    §2.4): the encode table IS the training loop's final word table —
+    training tokenizes the corpus into the checkpointed distinct-word
+    vocab and applies every merge to it anyway, so ``n_sym`` is read
+    straight off that table. The old kernel re-tokenized the corpus,
+    re-distincted the words and re-ran the replace chain to rebuild
+    the identical table — two extra corpus passes per invocation
+    (tokenization is the same expression, so the distinct-word sets
+    and padded strings are equal by construction)."""
+    _merges, cur = _bpe_train(docs, "text", rounds=3)
     toks = F.filter(
         F.split(F.lower(F.col("text")), TOKEN_PATTERN), lambda x: x != ""
     )
     dw = docs.select("doc_id", "lang", F.explode(toks).alias("w"))
-    s = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
-    for r in sorted(mrows, key=lambda r: r["round"]):
-        s = F.replace(s, F.lit(f" {r['pair']} "), F.lit(f" {r['merged']} "))
-    enc = dw.select("w").distinct().select(
-        "w", F.size(F.split(F.trim(s), " ")).cast("int").alias("n_sym")
+    enc = cur.select(
+        "w", F.size(F.split(F.trim(F.col("s")), " ")).cast("int").alias("n_sym")
     )
     return dw, enc
 
