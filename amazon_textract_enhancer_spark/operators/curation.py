@@ -439,20 +439,42 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     are doc_id-keyed left joins; at 10^12 docs each stage list is a
     committed table and this query is the funnel-audit report every
     data-curation run ships with."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .dedup import dedup_survivors
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    surv = dedup_survivors(spark, sf_dir).select(
-        "doc_id", F.lit(1).alias("s")
-    )
-    rep = (
-        text_gopher_quality(spark, sf_dir)
-        .filter(F.col("flag_repetitive"))
-        .select("doc_id", F.lit(1).alias("r"))
-    )
-    kept = sample_temperature(spark, sf_dir).select(
-        "doc_id", F.lit(1).alias("k")
-    )
+
+    # r6 (guide §2.6): the three stage lists are mutually independent
+    # (each is its own committed table in the production DAG), but the
+    # survivors branch alone serializes ~6 jobs (pair mining + CC), so
+    # composed lazily the funnel ran every branch back-to-back.
+    # Materialize each list from a thread pool — gopher/temperature
+    # back-fill the idle slots of the CC chain's barriers. Interleaved
+    # A/B at sf0.1 is cited in OPTIMIZATION_r06.md; outputs identical
+    # (checkpointing a drop list changes nothing downstream).
+    def _surv():
+        return dedup_survivors(spark, sf_dir).select(
+            "doc_id", F.lit(1).alias("s")
+        ).localCheckpoint(eager=True)
+
+    def _rep():
+        return (
+            text_gopher_quality(spark, sf_dir)
+            .filter(F.col("flag_repetitive"))
+            .select("doc_id", F.lit(1).alias("r"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _kept():
+        return sample_temperature(spark, sf_dir).select(
+            "doc_id", F.lit(1).alias("k")
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        sf_, rf_, kf_ = (pool.submit(_surv), pool.submit(_rep),
+                         pool.submit(_kept))
+        surv, rep, kept = sf_.result(), rf_.result(), kf_.result()
     j = (
         docs.join(surv, "doc_id", "left")
         .join(rep, "doc_id", "left")
