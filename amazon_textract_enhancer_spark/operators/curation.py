@@ -824,6 +824,10 @@ def sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, not an engine-side total order."""
     from .textstats import text_lm_perplexity
 
+    # (r6: checkpointing the perplexity table here — it feeds both the
+    # quartile agg and the final assignment — A/B'd ~0.05s SLOWER twice
+    # at sf0.1: the two branch runs overlap on idle cores, while the
+    # eager checkpoint serializes them. Left lazy on purpose.)
     scored = text_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
     qs = scored.agg(
         F.round(F.percentile("ppl", F.lit(0.25)), 4).alias("q1"),
@@ -929,20 +933,52 @@ def decontaminate_bloom(
     exact operator at any filter size: the Bloom can only add verify
     input, never answers. Totals (``n_ngrams``) come from the UNGATED
     per-doc count so overlap fractions match exactly."""
+    from .dedup import _shingle_hash_array, _shingles
+
     docs = t(spark, sf_dir, "documents")
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    # r6 (guide §2.3/§2.4, the dedup_ngram_jaccard device): the r5 form
+    # ran the corpus through _shingles().distinct() TWICE (totals and
+    # the gated branch are separate consumers of an un-materialized
+    # frame), paying two full-stream dedup exchanges plus the totals
+    # groupBy. Now NOTHING corpus-sized crosses an exchange before the
+    # verify join: totals is the in-row scalar distinct-shingle count
+    # (a document is one source row; int64 shingle hashes — same
+    # count unless two of one doc's shingles collide in 64 bits, the
+    # ngram-Jaccard birthday argument, and old-vs-new equality is
+    # pinned on every fixture), and the Bloom gate probes the RAW
+    # codegen occurrence stream (explode(sequence) + concat_ws — NOT
+    # an exploded HOF array, see the ngram NB: that inlines split()
+    # into the interpreted lambda, measured 2.3s → 20s here) with the
+    # per-(doc, shingle) dedup applied to the tiny verified-hit set
+    # via countDistinct instead of the whole corpus stream.
+    L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
+    parts = [F.element_at(F.col("L"), F.col("i") + j) for j in range(k)]
+    corpus_base = (
+        docs.filter(~is_eval)
+        .select("doc_id", L.alias("L"))
+        .filter(F.size("L") >= k)
+    )
+    totals = corpus_base.select(
+        "doc_id", F.size(_shingle_hash_array("L", k)).alias("n_ngrams")
+    )
+    corpus_ngrams = corpus_base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("L") - (k - 1))).alias("i"),
+        "L",
+    ).select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+    # the eval-side distinct set feeds both the Bloom build and the
+    # verify join → one checkpoint (the committed benchmark n-gram
+    # table at scale)
     bench_ngrams = (
         _shingles(docs.filter(is_eval), k=k).select("shingle").distinct()
-    )
-    corpus_ngrams = _shingles(docs.filter(~is_eval), k=k)
-    totals = corpus_ngrams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_ngrams")
+        .localCheckpoint(eager=True)
     )
     gated = _bloom_gate(corpus_ngrams, _bloom_word_table(bench_ngrams))
     hits = (
         gated.join(bench_ngrams.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(F.countDistinct("shingle").alias("n_hit"))
     )
     frac = F.round(F.col("n_hit") / F.col("n_ngrams"), 4)
     return (

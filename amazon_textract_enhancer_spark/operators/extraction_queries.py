@@ -1002,10 +1002,15 @@ def x_tool_pagerank(spark: SparkSession, sf_dir: str,
     # one source of truth for the edge table: the census operator
     # itself (r5 review — a re-derived lead window here could silently
     # diverge from the census it claims to rank if the transition
-    # definition ever changes)
+    # definition ever changes). r6 (guide §2.4): the census window is
+    # the ONE corpus-scale stage here, but the edge table feeds every
+    # downstream consumer (nodes twice, the out-weight agg, and each
+    # unrolled round's contribution join), so left lazy it re-executed
+    # per consumer. Materialize once — it is |tools|²-bounded, the
+    # committed call-graph table at scale.
     edges = x_tool_call_graph(spark, sf_dir).select(
         "tool_from", "tool_to", F.col("n_transitions").alias("n")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("tool_from").alias("tool"))
         .unionByName(edges.select(F.col("tool_to").alias("tool")))
