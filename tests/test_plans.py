@@ -301,3 +301,43 @@ def test_dedup_semantic_pairs_are_vectorized_cogroup(spark):
     plan = executed_plan(df)
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_is_in_row_no_corpus_shuffle(spark):
+    """r6: Lloyd assignment happens in-row against the broadcast 1-row
+    codebook — the r5 form shuffled every vector through a
+    groupBy(vec_id) exchange per round (and once more for the final
+    assignment). Post-checkpoint consumer plan: ONE scan, ONE exchange
+    (the k-row cluster agg), and no vec_id-keyed partitioning
+    anywhere."""
+    df = _q(spark, "embed_kmeans")
+    p = executed_plan(df)
+    assert "hashpartitioning(vec_id" not in p, p
+    assert p.count("Scan parquet") <= 1, p
+
+
+def test_bpe_encode_single_corpus_tokenize(spark):
+    """r6: the encode table is the training loop's final checkpointed
+    word table, so the apply side tokenizes the corpus exactly once
+    (the word-occurrence stream) — the old kernel's plan carried 4
+    parquet scans (re-tokenize + re-distinct + rebuild)."""
+    for name in ("text_bpe_encode", "text_token_fertility"):
+        df = _q(spark, name)
+        p = executed_plan(df)
+        assert p.count("Scan parquet") <= 1, (name, p)
+
+
+def test_decontaminate_bloom_corpus_side_scan_shaped(spark):
+    """r6: totals is an in-row scalar distinct count and the Bloom
+    gate probes the raw codegen occurrence stream — the corpus side
+    reaches the verify join without a full-stream dedup exchange. The
+    eval side is checkpointed, so the final plan holds exactly the two
+    corpus-side scans (totals + gate), not the r5 form's four."""
+    df = _q(spark, "decontaminate_bloom")
+    p = executed_plan(df)
+    assert p.count("Scan parquet") <= 2, p
+    # the r5 full-stream distinct: an aggregate grouped by
+    # (doc_id, shingle) with no aggregate functions, feeding the gate.
+    # countDistinct on the verified-hit set keeps functions=[count(...)]
+    # at the final level and only dedups post-join rows.
+    assert "Deduplicate" not in p, p
