@@ -754,24 +754,36 @@ def c5_search_bm25_batch(spark: SparkSession, sf_dir: str,
             .distinct()
         )
 
+    def _mk_tf(qt):
+        toks = tokenize(docs, "text", ["doc_id"]).join(
+            F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+        )
+        return _mat(
+            toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        )
+
     if materialize:
         from concurrent.futures import ThreadPoolExecutor
 
+        # r6 second sitting: tf depends on qterms but NOT on dl, so it
+        # chains behind qterms in the same thread — the tf census (the
+        # biggest of the three jobs) overlaps the dl materialization
+        # instead of serializing behind both
         with ThreadPoolExecutor(max_workers=2) as pool:
             dl_f = pool.submit(_mk_dl)
-            qt_f = pool.submit(_mk_qterms)
+
+            def _mk_qt_tf():
+                qt = _mk_qterms()
+                return qt, _mk_tf(qt)
+
+            qt_tf_f = pool.submit(_mk_qt_tf)
             dl = dl_f.result()
-            qterms = qt_f.result()
+            qterms, tf = qt_tf_f.result()
     else:
         dl, qterms = _mk_dl(), _mk_qterms()
+        tf = _mk_tf(qterms)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    toks = tokenize(docs, "text", ["doc_id"]).join(
-        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    )
-    tf = _mat(
-        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats)).select(
