@@ -819,13 +819,14 @@ def embed_kmeans(
     identical trajectory (the mm_adpcm recursive-twin discipline
     applied to an iterative ML algorithm).
 
-    Scale shape: per iteration ONE broadcast of the k-row centroid
-    table, map-side min_by argmin (the n×k expansion never crosses a
-    shuffle), and one (cluster, dim)-keyed mean agg — k·d rows out.
-    No driver traffic at all inside the loop (the loop is unrolled
-    into the plan; n_iters is fixed, the production form of
-    "iterate until budget"). Returns per-cluster size and inertia —
-    the convergence audit every clustering run reports."""
+    Scale shape (r6): per iteration ONE broadcast of the centroid
+    codebook as a single row, IN-ROW argmin (``_cb_assign`` — the n×k
+    expansion never exists, let alone crosses a shuffle), and one
+    (cluster, dim)-keyed mean agg — k·d rows out. No driver traffic
+    at all inside the loop (the loop is unrolled into the plan;
+    n_iters is fixed, the production form of "iterate until budget").
+    Returns per-cluster size and inertia — the convergence audit
+    every clustering run reports."""
     emb = _emb_double(spark, sf_dir)
     cb = _lloyd_centroids(emb, k, n_iters)
     # r6: final assignment in-row too (inline(array(struct)) evaluates
@@ -1237,12 +1238,13 @@ def pq_train_codebooks(
     discipline of ``embed_kmeans`` (init = the k smallest vec_ids'
     subvectors; 6dp-rounded distances pin every argmin; means
     re-rounded to 6dp) — ALL subspaces train in ONE plan, the
-    subspace id is just another grouping key. Per iteration: one
-    M·k-row broadcast, map-side min_by argmin, one (s, cluster,
-    dim)-keyed mean agg. At 10^12 rows codebooks train on a committed
-    sample (standard PQ practice — the codebook is a d/M-dim
-    quantizer, not a corpus statistic); the full-corpus form here
-    keeps the DuckDB twin exact."""
+    subspace id is just another grouping key. Per iteration (r6
+    shape): the M·K-entry codebook broadcasts as ONE row, assignment
+    is in-row per subspace, and only (s, cluster, dim) mean rows
+    reach an exchange — nothing corpus-sized shuffles. At 10^12 rows
+    codebooks train on a committed sample (standard PQ practice — the
+    codebook is a d/M-dim quantizer, not a corpus statistic); the
+    full-corpus form here keeps the DuckDB twin exact."""
     return _pq_train_codebooks_df(
         _emb_double(spark, sf_dir), m_sub=m_sub, k=k, n_iters=n_iters
     )
