@@ -929,11 +929,16 @@ def decontaminate_bloom(
     map-side hash probes per corpus n-gram and the verify join (here
     hinted shuffle_hash to model the non-broadcastable eval side) sees
     only true hits plus a ~1e-5 sliver of false positives, which the
-    exact join then removes. Output is therefore bit-identical to the
-    exact operator at any filter size: the Bloom can only add verify
-    input, never answers. Totals (``n_ngrams``) come from the UNGATED
-    per-doc count so overlap fractions match exactly."""
-    from .dedup import _shingle_hash_array, _shingles
+    exact join then removes — the Bloom can only add verify input,
+    never answers. Totals (``n_ngrams``) come from the UNGATED per-doc
+    count so overlap fractions match the exact operator's. r6 caveat
+    on exactness: n_ngrams is the per-doc count of DISTINCT int64
+    shingle HASHES (in-row, no exchange), which equals the distinct
+    string count unless two of one document's shingles collide in 64
+    bits — the dedup_ngram_jaccard birthday argument (~s²/2⁶⁵ per doc);
+    equality with the string-counting twin is pinned on every fixture
+    by the parity suite."""
+    from .dedup import _shingle_hash_array, _shingles, _shingles_raw
 
     docs = t(spark, sf_dir, "documents")
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
@@ -953,20 +958,13 @@ def decontaminate_bloom(
     # per-(doc, shingle) dedup applied to the tiny verified-hit set
     # via countDistinct instead of the whole corpus stream.
     L = F.split(F.lower(F.col("text")), TOKEN_PATTERN)
-    parts = [F.element_at(F.col("L"), F.col("i") + j) for j in range(k)]
-    corpus_base = (
+    totals = (
         docs.filter(~is_eval)
         .select("doc_id", L.alias("L"))
         .filter(F.size("L") >= k)
+        .select("doc_id", F.size(_shingle_hash_array("L", k)).alias("n_ngrams"))
     )
-    totals = corpus_base.select(
-        "doc_id", F.size(_shingle_hash_array("L", k)).alias("n_ngrams")
-    )
-    corpus_ngrams = corpus_base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("L") - (k - 1))).alias("i"),
-        "L",
-    ).select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+    corpus_ngrams = _shingles_raw(docs.filter(~is_eval), k=k)
     # the eval-side distinct set feeds both the Bloom build and the
     # verify join → one checkpoint (the committed benchmark n-gram
     # table at scale)

@@ -702,27 +702,29 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cb_assign(vcol: str = "v", cbcol: str = "cb") -> Column:
-    """struct(d, c) of the winning centroid for row vector ``vcol``
-    against the broadcast ONE-ROW codebook ``cbcol`` (sorted
-    array<struct<cent_id, cv>>): 6dp-rounded squared distance, ties →
-    smallest cent_id (struct comparison is d first, then c) — the
-    exact ``min_by(cent_id, struct(d, c))`` argmin of the r5
-    broadcast-join form, computed IN-ROW so the corpus never crosses
-    an exchange to be assigned (r6, guide §2.3: the r5 form shuffled
-    every row — carrying its full vector — through a groupBy(vec_id)
-    per Lloyd round just to reduce the k joined copies)."""
+def _argmin_entry(vec: Column, entries: Column) -> Column:
+    """struct(d, c) of the winning entry for row vector ``vec``
+    against ``entries`` (array<struct<..., cent_id, cv>>): 6dp-rounded
+    squared distance, ties → smallest cent_id (struct comparison is d
+    first, then c) — the exact ``min_by(cent_id, struct(d, c))``
+    argmin of the r5 broadcast-join form, computed IN-ROW so the
+    corpus never crosses an exchange to be assigned (r6, guide §2.3:
+    the r5 form shuffled every row — carrying its full vector —
+    through a groupBy(vec_id) per Lloyd round just to reduce the k
+    joined copies). This ONE expression pins the cross-engine argmin
+    trajectory for kmeans, SemDeDup AND PQ training — keep the
+    rounding point and the (d, c) field order here only."""
     # named_struct, not struct(...alias...): aliases on expressions
     # built inside HOF lambdas are silently dropped by the analyzer in
     # some nestings, auto-naming the field colN
     return F.array_min(
         F.transform(
-            F.col(cbcol),
+            entries,
             lambda e: F.named_struct(
                 F.lit("d"),
                 F.round(
                     F.aggregate(
-                        F.zip_with(F.col(vcol), e["cv"],
+                        F.zip_with(vec, e["cv"],
                                    lambda a, b: (a - b) * (a - b)),
                         F.lit(0.0),
                         lambda acc, x: acc + x,
@@ -734,6 +736,11 @@ def _cb_assign(vcol: str = "v", cbcol: str = "cb") -> Column:
             ),
         )
     )
+
+
+def _cb_assign(vcol: str = "v", cbcol: str = "cb") -> Column:
+    """``_argmin_entry`` over the full broadcast 1-row codebook."""
+    return _argmin_entry(F.col(vcol), F.col(cbcol))
 
 
 def _lloyd_centroids(emb: DataFrame, k: int, n_iters: int) -> DataFrame:
@@ -1304,29 +1311,11 @@ def _pq_train_codebooks_df(
     ).localCheckpoint(eager=True)
 
     def _sub_assign(s: int) -> Column:
-        # argmin code of subvector s against the row's broadcast cb:
-        # 6dp-rounded distance, ties -> smallest cent_id (struct
-        # comparison d-then-c) — identical to the r5 min_by form
-        sv = _pq_sub_slice(F.col("v"), s, m_sub)
-        # named_struct — see _cb_assign on lambda-scope aliases
-        return F.array_min(
-            F.transform(
-                F.filter("cb", lambda e: e["s"] == F.lit(s)),
-                lambda e: F.named_struct(
-                    F.lit("d"),
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(sv, e["cv"],
-                                       lambda a, b: (a - b) * (a - b)),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ),
-                        6,
-                    ),
-                    F.lit("c"),
-                    e["cent_id"],
-                ),
-            )
+        # argmin code of subvector s against the row's broadcast cb —
+        # the shared _argmin_entry expression restricted to subspace s
+        return _argmin_entry(
+            _pq_sub_slice(F.col("v"), s, m_sub),
+            F.filter("cb", lambda e: e["s"] == F.lit(s)),
         ).getField("c")
 
     for _ in range(n_iters):
