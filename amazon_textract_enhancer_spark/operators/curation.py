@@ -771,7 +771,12 @@ def text_quality_lr(
         .groupBy("bucket")
         .agg((F.sum(F.col("r") * F.col("x")) / F.max("n_docs")).alias("g"))
     )
-    w1 = g1.select("bucket", F.round(F.lit(-rate) * F.col("g"), 6).alias("w"))
+    # w1 feeds TWO consumers (the iteration-2 scoring broadcast and the
+    # w2 weight-update join), so left lazy the g1 gradient agg ran
+    # twice; the weight table is 257 rows — checkpoint it (r6)
+    w1 = g1.select(
+        "bucket", F.round(F.lit(-rate) * F.col("g"), 6).alias("w")
+    ).localCheckpoint(eager=True)
     # iteration 2: score with w1, step again
     z1 = (
         Xa.join(F.broadcast(w1), "bucket")
